@@ -1,0 +1,192 @@
+"""Llama-family functional forward (covers Llama 2/3.x, Qwen2.5, Mistral).
+
+A from-scratch, jit-first re-design of the reference's hand-rolled torch forward
+(`umbrella/models/llama.py:75-134`, `qwen_layer.py:36-38` for QKV biases,
+`mistral.py:29` for head_dim override). Differences from the reference, by design:
+
+- Pure function of (params, kv, inputs) -> (logits, kv); the engine jits whole
+  draft/verify phases around it and donates the KV buffers.
+- Layers are stacked arrays traversed with `lax.scan` — one compiled layer body,
+  no Python-level per-layer dispatch (the XLA analogue of CUDA-graphing the loop).
+- bf16 weights/activations on the MXU, fp32 softmax/norm accumulation, fp32 logits.
+
+Param pytree (all linear weights stored [in, out]):
+  embed [V, H], lm_head [H, V] (absent => tied), final_norm [H],
+  layers: dict of stacked arrays with leading dim n_layers:
+    input_norm, post_norm [n, H]
+    wq [n, H, H_q], wk/wv [n, H, KVH*D], wo [n, H_q, H]
+    gate/up [n, H, I], down [n, I, H]
+    optional bq [n, H_q], bk/bv [n, KVH*D]   (Qwen2.5 attention_bias)
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import ModelConfig
+from ..ops.attention import attend_dense
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope, precompute_rope_cache
+from .kv_cache import KVCache, update_layer
+
+
+class StaticModelArgs(NamedTuple):
+    """Hashable static description threaded through jit."""
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    hidden_size: int
+    rms_eps: float
+    n_layers: int
+
+    @classmethod
+    def from_config(cls, cfg: ModelConfig, n_layers: Optional[int] = None) -> "StaticModelArgs":
+        return cls(
+            num_heads=cfg.num_attention_heads,
+            num_kv_heads=cfg.num_key_value_heads,
+            head_dim=cfg.resolved_head_dim,
+            hidden_size=cfg.hidden_size,
+            rms_eps=cfg.rms_norm_eps,
+            n_layers=n_layers if n_layers is not None else cfg.num_hidden_layers,
+        )
+
+
+def _linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def llama_attention(
+    args: StaticModelArgs,
+    lw: dict,  # single-layer weights (no leading layer dim)
+    hidden: jnp.ndarray,  # [S, H]
+    kv: KVCache,
+    layer_idx,
+    position_ids: jnp.ndarray,
+    attn_mask: jnp.ndarray,
+    write_offset,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+) -> Tuple[jnp.ndarray, KVCache]:
+    S = hidden.shape[0]
+    D = args.head_dim
+    q = _linear(hidden, lw["wq"], lw.get("bq")).reshape(S, args.num_heads, D)
+    k = _linear(hidden, lw["wk"], lw.get("bk")).reshape(S, args.num_kv_heads, D)
+    v = _linear(hidden, lw["wv"], lw.get("bv")).reshape(S, args.num_kv_heads, D)
+    q, k = apply_rope(q, k, cos, sin, position_ids)
+
+    kv = update_layer(kv, layer_idx, k, v, write_offset)
+    k_cache = lax.dynamic_index_in_dim(kv.k, layer_idx, axis=0, keepdims=False)
+    v_cache = lax.dynamic_index_in_dim(kv.v, layer_idx, axis=0, keepdims=False)
+    out = attend_dense(q, k_cache, v_cache, attn_mask)
+    return _linear(out.reshape(S, args.num_heads * D), lw["wo"]), kv
+
+
+def llama_layer(
+    args: StaticModelArgs,
+    lw: dict,
+    hidden: jnp.ndarray,
+    kv: KVCache,
+    layer_idx,
+    position_ids,
+    attn_mask,
+    write_offset,
+    cos,
+    sin,
+) -> Tuple[jnp.ndarray, KVCache]:
+    residual = hidden
+    hidden = rms_norm(hidden, lw["input_norm"], args.rms_eps)
+    attn_out, kv = llama_attention(
+        args, lw, hidden, kv, layer_idx, position_ids, attn_mask, write_offset, cos, sin
+    )
+    hidden = residual + attn_out
+    residual = hidden
+    hidden = rms_norm(hidden, lw["post_norm"], args.rms_eps)
+    gate = _linear(hidden, lw["gate"])
+    up = _linear(hidden, lw["up"])
+    hidden = _linear(jax.nn.silu(gate) * up, lw["down"])
+    return residual + hidden, kv
+
+
+def llama_forward(
+    params: dict,
+    args: StaticModelArgs,
+    kv: KVCache,
+    input_ids: jnp.ndarray,  # [S]
+    position_ids: jnp.ndarray,  # [S]
+    attn_mask: jnp.ndarray,  # [S, L] bool
+    write_offset,  # scalar slot index
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Full forward; returns (fp32 logits [S, V], updated kv)."""
+    layers = params["layers"]
+    cos, sin = params["rope_cos"], params["rope_sin"]
+    hidden = params["embed"][input_ids].astype(params["layers"]["wq"].dtype)
+
+    def body(carry, xs):
+        hidden, kv = carry
+        layer_idx, lw = xs
+        hidden, kv = llama_layer(
+            args, lw, hidden, kv, layer_idx, position_ids, attn_mask, write_offset, cos, sin
+        )
+        return (hidden, kv), None
+
+    layer_ids = jnp.arange(args.n_layers)
+    (hidden, kv), _ = lax.scan(body, (hidden, kv), (layer_ids, layers))
+
+    hidden = rms_norm(hidden, params["final_norm"], args.rms_eps)
+    lm_head = params.get("lm_head")
+    if lm_head is None:
+        logits = jnp.dot(hidden, params["embed"].T, preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.dot(hidden, lm_head, preferred_element_type=jnp.float32)
+    return logits.astype(jnp.float32), kv
+
+
+def init_llama_params(
+    cfg: ModelConfig, key: jax.Array, max_length: int, dtype=jnp.bfloat16,
+    n_layers: Optional[int] = None,
+) -> dict:
+    """Random-init params (tiny-model tests; real weights come from models/weights.py)."""
+    n = n_layers if n_layers is not None else cfg.num_hidden_layers
+    H, D = cfg.hidden_size, cfg.resolved_head_dim
+    Hq = cfg.num_attention_heads * D
+    KV = cfg.num_key_value_heads * D
+    I, V = cfg.intermediate_size, cfg.vocab_size
+    keys = iter(jax.random.split(key, 16))
+
+    def w(k, shape, scale=0.02):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    layers = {
+        "input_norm": jnp.ones((n, H), dtype),
+        "post_norm": jnp.ones((n, H), dtype),
+        "wq": w(next(keys), (n, H, Hq)),
+        "wk": w(next(keys), (n, H, KV)),
+        "wv": w(next(keys), (n, H, KV)),
+        "wo": w(next(keys), (n, Hq, H)),
+        "gate": w(next(keys), (n, H, I)),
+        "up": w(next(keys), (n, H, I)),
+        "down": w(next(keys), (n, I, H)),
+    }
+    if cfg.attention_bias:
+        layers["bq"] = jnp.zeros((n, Hq), dtype)
+        layers["bk"] = jnp.zeros((n, KV), dtype)
+        layers["bv"] = jnp.zeros((n, KV), dtype)
+
+    cos, sin = precompute_rope_cache(cfg, max_length)
+    params = {
+        "embed": w(next(keys), (V, H)),
+        "final_norm": jnp.ones((H,), dtype),
+        "layers": layers,
+        "rope_cos": cos,
+        "rope_sin": sin,
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = w(next(keys), (H, V))
+    return params

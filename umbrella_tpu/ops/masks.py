@@ -1,0 +1,72 @@
+"""On-the-fly attention mask construction.
+
+The reference materializes a persistent `[max_length, 2*max_length]` boolean buffer and
+re-slices offset windows from it every iteration
+(`umbrella/speculation/static_speculation_engine.py:55,150,345`). On TPU we never
+materialize O(L^2) state: each jitted step computes only its own `[S, max_len]` mask
+rows from scalars (committed length, query positions) plus the tiny per-tree ancestor
+bitmap. Semantics are identical.
+
+KV slot layout (one linear cache per model):
+  slots [0, num_nodes)                    committed prefix (always visible)
+  slots [num_nodes, num_nodes+tree_size)  current speculation tree (ancestor-visible)
+"""
+import jax.numpy as jnp
+from jax import lax
+
+
+def causal_mask_rows(
+    q_start,  # scalar: absolute slot index of query row 0
+    q_len: int,  # static number of query rows
+    kv_len: int,  # static total kv slots
+) -> jnp.ndarray:
+    """Bool [q_len, kv_len]: row i may attend slot j iff j <= q_start + i.
+
+    Used for prefill/append where slot index == position (reference semantics:
+    `speculation_utils.make_causal_mask` + window slicing, static engine :150-156).
+    """
+    rows = lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 1)
+    return cols <= (rows + q_start)
+
+
+def tree_mask_rows(
+    num_nodes,  # scalar: committed prefix length (tree root lives at this slot)
+    tree_bitmap: jnp.ndarray,  # bool [tree_size, tree_size], ancestor closure incl. self
+    kv_len: int,  # static total kv slots
+) -> jnp.ndarray:
+    """Bool [tree_size, kv_len] mask for a full-tree (verify) pass.
+
+    Node i sees: all committed slots (< num_nodes), plus tree slots j where
+    tree_bitmap[i, j - num_nodes] (its ancestors and itself). Equivalent to the
+    reference writing `growmap["mask"]` into the tail of its giant mask buffer
+    (static engine :79) — but built per step from the 13–64 node bitmap.
+    """
+    tree_size = tree_bitmap.shape[0]
+    cols = lax.broadcasted_iota(jnp.int32, (tree_size, kv_len), 1)
+    committed = cols < num_nodes
+    # Scatter the bitmap into the [num_nodes, num_nodes+tree_size) window.
+    rel = cols - num_nodes  # [tree_size, kv_len]
+    in_tree = (rel >= 0) & (rel < tree_size)
+    rel_clamped = jnp.clip(rel, 0, tree_size - 1)
+    rows = lax.broadcasted_iota(jnp.int32, (tree_size, kv_len), 0)
+    bitmap_vals = tree_bitmap[rows, rel_clamped]
+    return committed | (in_tree & bitmap_vals)
+
+
+def tree_level_mask_rows(
+    num_nodes,  # scalar committed prefix length
+    tree_bitmap: jnp.ndarray,  # bool [tree_size, tree_size]
+    node_ids: jnp.ndarray,  # int [q_len] — tree node indices of this level's queries
+    kv_len: int,
+) -> jnp.ndarray:
+    """Bool [q_len, kv_len] for one draft tree level: rows are tree nodes `node_ids`."""
+    q_len = node_ids.shape[0]
+    tree_size = tree_bitmap.shape[0]
+    cols = lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 1)
+    committed = cols < num_nodes
+    rel = cols - num_nodes
+    in_tree = (rel >= 0) & (rel < tree_size)
+    rel_clamped = jnp.clip(rel, 0, tree_size - 1)
+    bitmap_vals = tree_bitmap[node_ids[:, None], rel_clamped]
+    return committed | (in_tree & bitmap_vals)

@@ -1,0 +1,94 @@
+"""Sampling primitives — jax-native replacements for the reference's mix of
+`flashinfer.sampling.*`, torch multinomial, and CUDA-graphed samplers
+(`umbrella/speculation/speculation_utils.py:340-352`,
+`static_speculation_engine.py:305-310`, `dynamic_speculation_engine.py:272-281`).
+
+Everything is a pure function of (logits, key) so it can live inside the engine's
+single jitted verify/build steps. PRNG is threaded `jax.random` keys — the functional
+analogue of the reference's pre-sampled `uniform_samples` buffer (static engine :131).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.finfo(jnp.float32).min
+
+
+def apply_repetition_penalty(
+    logits: jnp.ndarray,  # [S, V] fp32
+    prev_tokens: jnp.ndarray,  # [P] int32 — tokens to penalize (committed prefix)
+    valid_len,  # scalar: number of valid entries in prev_tokens
+    penalty: float,
+) -> jnp.ndarray:
+    """HF-style penalty: seen tokens' logits divided (if >0) / multiplied (if <0).
+
+    Fixed-shape formulation of `apply_repetition_penalty` (spec_utils:340-345):
+    build a [V] "seen" indicator via scatter of the (padded) prefix, then adjust.
+    """
+    vocab = logits.shape[-1]
+    pos = jnp.arange(prev_tokens.shape[0])
+    ids = jnp.where(pos < valid_len, prev_tokens, vocab)  # out-of-range -> dropped
+    seen = jnp.zeros((vocab + 1,), dtype=jnp.bool_).at[ids].set(True)[:vocab]
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen[None, :], penalized, logits)
+
+
+def apply_topk_mask(logits: jnp.ndarray, topk: int) -> jnp.ndarray:
+    """Mask everything below the k-th largest logit to -inf (spec_utils:347-352)."""
+    kth = jax.lax.top_k(logits, topk)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def top_p_renorm_probs(probs: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """Zero out the tail outside the top-p nucleus and renormalize.
+
+    Matches flashinfer.top_p_renorm_prob semantics (dynamic engine :280): keep the
+    smallest set of tokens with cumulative prob > top_p (always incl. the argmax).
+    """
+    sorted_probs = jnp.sort(probs, axis=-1)[..., ::-1]
+    cumsum = jnp.cumsum(sorted_probs, axis=-1)
+    # keep sorted index i iff cumsum[i-1] < top_p  (first element always kept)
+    keep_sorted = (cumsum - sorted_probs) < top_p
+    # threshold = smallest kept prob
+    thresh = jnp.min(jnp.where(keep_sorted, sorted_probs, jnp.inf), axis=-1, keepdims=True)
+    kept = jnp.where(probs >= thresh, probs, 0.0)
+    return kept / jnp.sum(kept, axis=-1, keepdims=True)
+
+
+def sample_top_k_top_p(
+    key: jax.Array,
+    logits: jnp.ndarray,  # [S, V] fp32
+    temperature: float,
+    topk: int,
+    topp: float,
+) -> jnp.ndarray:
+    """Stochastic verify-time sampling: top-k filter, temperature softmax, top-p
+    renorm, categorical draw. Mirrors static engine :310 / dynamic engine :278-281."""
+    logits = apply_topk_mask(logits, topk)
+    probs = jax.nn.softmax(logits / temperature, axis=-1)
+    probs = top_p_renorm_probs(probs, topp)
+    # Gumbel trick on log-probs == categorical sampling.
+    return jax.random.categorical(key, jnp.log(probs + 1e-20), axis=-1)
+
+
+def greedy_sample(logits: jnp.ndarray) -> jnp.ndarray:
+    return jnp.argmax(logits, axis=-1)
+
+
+def topk_tokens(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Per-row top-k token ids, flattened row-major — the draft expansion sampler
+    (`sampling_argmax`, spec_utils:52-55)."""
+    return jax.lax.top_k(logits, k)[1].reshape(-1)
+
+
+def find_first_in_set(tokens: jnp.ndarray, eos_ids: jnp.ndarray, valid_len) -> jnp.ndarray:
+    """Index of first token (within valid_len) that is in eos_ids, else -1.
+
+    Fixed-shape version of `find_first_element_position` (spec_utils:316-338).
+    """
+    n = tokens.shape[0]
+    pos = jnp.arange(n)
+    is_eos = jnp.any(tokens[:, None] == eos_ids[None, :], axis=-1) & (pos < valid_len)
+    first = jnp.min(jnp.where(is_eos, pos, n))
+    return jnp.where(first == n, -1, first)
