@@ -1,0 +1,180 @@
+"""Model registry and runtime construction.
+
+Counterpart of the reference's `umbrella/models/auto_model.py` (three hardcoded
+string->class maps keyed on `(model_name, offload, cuda_graph)`, reference
+`auto_model.py:156-182`). TPU deltas:
+
+- The `cuda_graph` axis disappears: every phase is jit-compiled, which IS the graph
+  (reference worked around eager-mode launch latency; XLA doesn't have that problem).
+- Family is resolved from the checkpoint's `model_type` first, with the reference's
+  known-id table kept for exact-name parity.
+- `offload=True` selects the host-DRAM weight-streaming runtime (offload/streaming.py);
+  quantized checkpoints are detected from `quantization_config` in config.json.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from .kv_cache import KVCache, init_kv_cache
+from .llama import StaticModelArgs, init_llama_params, llama_forward
+from .weights import load_llama_params
+
+# Known model ids (parity with reference's _MODEL_MAPPING families).
+_KNOWN_FAMILIES = {
+    "llama": [
+        "meta-llama/Llama-3.3-70B-Instruct", "meta-llama/Llama-3.1-70B-Instruct",
+        "meta-llama/Llama-3.1-8B-Instruct", "meta-llama/Meta-Llama-3-70B-Instruct",
+        "meta-llama/Meta-Llama-3-8B-Instruct", "meta-llama/Llama-3.2-1B-Instruct",
+        "meta-llama/Llama-3.2-3B-Instruct", "Felladrin/Llama-68M-Chat-v1",
+        "facebook/layerskip-llama3.2-1B", "Zhuominc/Llama-3-330M",
+        "Zhuominc/Coder-670M", "Zhuominc/Coder-400M", "Zhuominc/Coder-400M-IT",
+        "Zhuominc/FastCode-500M", "InfiniAILab/CodeDrafter-500M",
+        "ibnzterrell/Meta-Llama-3.3-70B-Instruct-AWQ-INT4",
+        "lambdalabs/Llama-3.3-70B-Instruct-AWQ-4bit",
+        "casperhansen/llama-3.3-70b-instruct-awq",
+        "hugging-quants/Meta-Llama-3.1-70B-Instruct-AWQ-INT4",
+        "hugging-quants/Meta-Llama-3.1-8B-Instruct-AWQ-INT4",
+        "casperhansen/deepseek-r1-distill-llama-70b-awq",
+    ],
+    "qwen2": ["Qwen/Qwen2.5", "Qwen/QwQ", "KirillR/QwQ-32B-Preview-AWQ",
+              "casperhansen/deepseek-r1-distill-qwen-32b-awq"],
+    "mistral": ["mistralai/Mistral", "mistralai/Ministral",
+                "solidrust/Mistral-7B-Instruct-v0.3-AWQ",
+                "stelterlab/Mistral-Small-24B-Instruct-2501-AWQ",
+                "PyrTools/Ministral-8B-Instruct-2410-AWQ"],
+    "gemma2": ["google/gemma-2"],
+}
+
+
+def resolve_family(model_name: str, cfg: Optional[ModelConfig] = None) -> str:
+    if cfg is not None and cfg.model_type:
+        mt = cfg.model_type.lower()
+        if "gemma2" in mt:
+            return "gemma2"
+        if "qwen" in mt:
+            return "qwen2"
+        if "mistral" in mt:
+            return "mistral"
+        if "llama" in mt:
+            return "llama"
+    for family, prefixes in _KNOWN_FAMILIES.items():
+        for p in prefixes:
+            if model_name.startswith(p):
+                return family
+    return "llama"
+
+
+class ModelRuntime:
+    """A loaded model: config + params pytree + pure forward fn.
+
+    The engine-facing contract (reference `models/base.py:4-31` reimagined
+    functionally): `forward(params, kv, input_ids, position_ids, attn_mask,
+    write_offset) -> (fp32 logits, kv)` is pure and jit-safe; state lives in the
+    KVCache the caller owns and donates.
+    """
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: dict,
+        max_length: int,
+        dtype=jnp.bfloat16,
+        family: str = "llama",
+        n_layers: Optional[int] = None,
+        model_name: str = "",
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.max_length = max_length
+        self.dtype = dtype
+        self.family = family
+        self.model_name = model_name
+        self.args = StaticModelArgs.from_config(cfg, n_layers=n_layers)
+        if family == "gemma2":
+            from .gemma import gemma2_forward, GemmaStaticArgs
+
+            self.gemma_args = GemmaStaticArgs.from_config(cfg, n_layers=n_layers)
+            self._forward = gemma2_forward
+        else:
+            self._forward = llama_forward
+
+    @property
+    def forward(self) -> Callable:
+        args = self.gemma_args if self.family == "gemma2" else self.args
+
+        def fwd(params, kv, input_ids, position_ids, attn_mask, write_offset):
+            return self._forward(params, args, kv, input_ids, position_ids, attn_mask, write_offset)
+
+        return fwd
+
+    def init_kv(self, kv_dtype=None) -> KVCache:
+        return init_kv_cache(
+            self.cfg, self.max_length, dtype=kv_dtype or self.dtype, num_layers=self.args.n_layers
+        )
+
+    @property
+    def eos_ids(self):
+        return self.cfg.eos_token_ids
+
+    @property
+    def supports_fused_phases(self) -> bool:
+        """True if forward can be traced inside one engine-phase jit (resident weights)."""
+        return True
+
+
+class AutoModelLM:
+    """from_pretrained dispatch (reference auto_model.py:156-182, minus cuda_graph)."""
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        model_name: str,
+        offload: bool = False,
+        max_length: int = 8192,
+        dtype=jnp.bfloat16,
+        exit_layer: int = -1,
+        num_cache_layers: int = 0,
+        **kwargs,
+    ) -> ModelRuntime:
+        cfg = ModelConfig.from_pretrained(model_name)
+        family = resolve_family(model_name, cfg)
+        n_layers = exit_layer if (exit_layer and exit_layer > 0) else None
+
+        if cfg.quantization and cfg.quantization.get("method") == "awq":
+            from ..quantization.awq import load_awq_runtime
+
+            return load_awq_runtime(
+                model_name, cfg, max_length=max_length, dtype=dtype,
+                family=family, n_layers=n_layers, offload=offload,
+                num_cache_layers=num_cache_layers,
+            )
+        if offload:
+            from ..offload.streaming import OffloadModelRuntime
+
+            return OffloadModelRuntime.load(
+                model_name, cfg, max_length=max_length, dtype=dtype, family=family,
+                n_layers=n_layers, num_cache_layers=num_cache_layers,
+            )
+        if family == "gemma2":
+            from .gemma import load_gemma_params
+
+            params = load_gemma_params(model_name, cfg, max_length, dtype, n_layers=n_layers)
+        else:
+            params = load_llama_params(model_name, cfg, max_length, dtype, n_layers=n_layers)
+        return ModelRuntime(
+            cfg, params, max_length, dtype=dtype, family=family, n_layers=n_layers,
+            model_name=model_name,
+        )
+
+
+def random_runtime(
+    cfg: ModelConfig, max_length: int = 128, dtype=jnp.float32, seed: int = 0,
+    n_layers: Optional[int] = None,
+) -> ModelRuntime:
+    """Tiny random model for tests/benchmarks without checkpoints."""
+    params = init_llama_params(cfg, jax.random.PRNGKey(seed), max_length, dtype, n_layers=n_layers)
+    return ModelRuntime(cfg, params, max_length, dtype=dtype, n_layers=n_layers)
