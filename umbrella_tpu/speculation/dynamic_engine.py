@@ -1,0 +1,174 @@
+"""Dynamic beam-tree speculation engine.
+
+Behavioral counterpart of the reference's `DynamicSpeculationEngine`
+(`umbrella/speculation/dynamic_speculation_engine.py`): the tree is grown online,
+level by level, keeping the global top-`width` children (of `num_beams` candidates per
+frontier node) scored by cumulative draft log-probability (ref :216-248). The verify
+phase is the same token-match accept rule, with the ancestor bitmap built during
+expansion instead of read from a growmap.
+
+TPU re-design: the whole expansion — depth+1 draft forwards, per-level beam scoring,
+parent bookkeeping, and bitmap row construction — is ONE jitted computation (static
+shapes: width/depth/num_beams are engine constants). The reference runs ~2*depth
+kernel launches plus Python mask row copies per iteration; here it's one dispatch.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.masks import tree_level_mask_rows, tree_mask_rows
+from ..utils import TextColors, setup_logger
+from .engine_common import SpecEngineBase
+from .verify import verify_tail
+
+logger = setup_logger()
+
+
+class DynamicEngine(SpecEngineBase):
+    ban_eos_at_prefill = True  # ref dynamic:130 bans EOS as the first generated token
+
+    def __init__(self, draft_model_name, target_model_name, dtype=jnp.bfloat16,
+                 device=None, **kwargs) -> None:
+        num_beams = kwargs.pop("num_beams", 24)
+        width = kwargs.pop("width", 16)
+        depth = kwargs.pop("depth", 24)
+        super().__init__(draft_model_name, target_model_name, dtype, device, **kwargs)
+        self.num_beams = num_beams
+        self.tree_width = width
+        self.tree_depth = depth
+        self.tree_size = width * depth + 1
+
+    def initialize(self):
+        logger.info(TextColors.colorize(
+            "Tree Size {} | Tree Depth {} | Tree Width {}".format(
+                self.tree_size - 1, self.tree_depth, self.tree_width), "magenta"))
+        self._init_models_and_state()
+        self._build_tree_phases()
+        # bitmap/parents produced by the last build_tree, consumed by verify
+        self._tree_bitmap = jnp.eye(self.tree_size, dtype=bool)
+        self._tree_parents = jnp.zeros(self.tree_size, jnp.int32)
+
+    # -------------------------------------------------------------- jitted phases
+
+    def _build_tree_phases(self):
+        W, D, B = self.tree_width, self.tree_depth, self.num_beams
+        tree_size = self.tree_size
+        L = self.max_length
+        d_fwd = self.draft_model.forward
+        t_fused = self.target_model.supports_fused_phases
+        t_fwd = self.target_model.forward if t_fused else None
+        eos_arr = self._eos_arr
+
+        # node depth vector: [0, 1*W ones, 2*W ones, ...] (ref :65-68)
+        depth_all = np.zeros(tree_size, np.int32)
+        for i in range(D):
+            depth_all[1 + i * W : 1 + (i + 1) * W] = i + 1
+        depth_all = jnp.asarray(depth_all)
+        self._depth_all = depth_all
+        node_in_path = depth_all + 1
+
+        def build_tree_fn(pd, kv_d, tokens, num_nodes):
+            bitmap = jnp.eye(tree_size, dtype=bool)
+            parents = jnp.zeros(tree_size, jnp.int32)
+            tree_score = jnp.zeros(tree_size, jnp.float32)
+            lvl_start = 0
+            for step in range(D + 1):
+                dec_len = 1 if step == 0 else W
+                node_ids = lvl_start + jnp.arange(dec_len, dtype=jnp.int32)
+                ids = jax.lax.dynamic_slice(tokens, (num_nodes + lvl_start,), (dec_len,))
+                pos = num_nodes + jnp.full((dec_len,), step, jnp.int32)
+                mask = tree_level_mask_rows(num_nodes, bitmap, node_ids, L)
+                logits, kv_d = d_fwd(pd, kv_d, ids, pos, mask, num_nodes + lvl_start)
+                if step < D:
+                    top_vals, top_idx = jax.lax.top_k(logits, B)  # [dec_len, B]
+                    step_scores = jnp.log(jax.nn.softmax(top_vals, axis=-1) + 1e-4)
+                    hist = jax.lax.dynamic_slice(tree_score, (lvl_start,), (dec_len,))
+                    cand = (hist[:, None] + step_scores).reshape(-1)
+                    sel_score, sel = jax.lax.top_k(cand, W)
+                    new_tokens = top_idx.reshape(-1)[sel].astype(jnp.int32)
+                    parent_global = (lvl_start + sel // B).astype(jnp.int32)
+
+                    new_start = lvl_start + dec_len
+                    tokens = jax.lax.dynamic_update_slice(
+                        tokens, new_tokens, (num_nodes + new_start,))
+                    tree_score = jax.lax.dynamic_update_slice(
+                        tree_score, sel_score, (new_start,))
+                    parents = jax.lax.dynamic_update_slice(
+                        parents, parent_global, (new_start,))
+                    self_rows = jax.nn.one_hot(
+                        new_start + jnp.arange(W), tree_size, dtype=jnp.bool_)
+                    new_rows = bitmap[parent_global] | self_rows
+                    bitmap = jax.lax.dynamic_update_slice(bitmap, new_rows, (new_start, 0))
+                    lvl_start = new_start
+            return tokens, kv_d, bitmap, parents
+
+        self._build_tree_jit = jax.jit(build_tree_fn, donate_argnums=(1, 2))
+
+        def verify_fn(pt, kv_t, kv_d, tokens, bitmap, parents, num_nodes, key,
+                      temperature, topp, penalty, *, greedy, topk, use_pen):
+            ids = jax.lax.dynamic_slice(tokens, (num_nodes,), (tree_size,))
+            pos = num_nodes + depth_all
+            mask = tree_mask_rows(num_nodes, bitmap, L)
+            logits, kv_t = t_fwd(pt, kv_t, ids, pos, mask, num_nodes)
+            return verify_tail(logits, kv_t, kv_d, tokens, num_nodes, key,
+                               temperature, topp, penalty, bitmap, parents,
+                               node_in_path, eos_arr, tree_size=tree_size,
+                               greedy=greedy, topk=topk, use_pen=use_pen)
+
+        def tail_fn(logits, kv_t, kv_d, tokens, bitmap, parents, num_nodes, key,
+                    temperature, topp, penalty, *, greedy, topk, use_pen):
+            return verify_tail(logits, kv_t, kv_d, tokens, num_nodes, key,
+                               temperature, topp, penalty, bitmap, parents,
+                               node_in_path, eos_arr, tree_size=tree_size,
+                               greedy=greedy, topk=topk, use_pen=use_pen)
+
+        self._verify_cache = {}
+        self._fused_target = t_fused
+
+        def get_verify(greedy, topk, use_pen):
+            k = (greedy, topk, use_pen)
+            if k not in self._verify_cache:
+                fn = verify_fn if t_fused else tail_fn
+                self._verify_cache[k] = jax.jit(
+                    functools.partial(fn, greedy=greedy, topk=topk, use_pen=use_pen),
+                    donate_argnums=(1, 2, 3))
+            return self._verify_cache[k]
+
+        self._get_verify = get_verify
+
+    # -------------------------------------------------------------- decode phases
+
+    def build_tree(self):
+        (self.tokens, self.kv_draft, self._tree_bitmap,
+         self._tree_parents) = self._build_tree_jit(
+            self.draft_model.params, self.kv_draft, self.tokens, jnp.int32(self.num_nodes))
+
+    def verify(self) -> bool:
+        greedy = self.temperature < 0.05
+        use_pen = self.repetition_penalty > 1.01
+        self._key, sub = jax.random.split(self._key)
+        num_nodes = jnp.int32(self.num_nodes)
+        fn = self._get_verify(greedy, self.topk, use_pen)
+        common = (num_nodes, sub, jnp.float32(max(self.temperature, 1e-3)),
+                  jnp.float32(self.topp), jnp.float32(self.repetition_penalty))
+        if self._fused_target:
+            out = fn(self.target_model.params, self.kv_target, self.kv_draft,
+                     self.tokens, self._tree_bitmap, self._tree_parents, *common)
+        else:
+            ids = jax.lax.dynamic_slice(self.tokens, (num_nodes,), (self.tree_size,))
+            pos = num_nodes + self._depth_all
+            mask = tree_mask_rows(num_nodes, self._tree_bitmap, self.max_length)
+            logits, self.kv_target = self.target_model.streamed_forward(
+                self.kv_target, ids, pos, mask, num_nodes)
+            out = fn(logits, self.kv_target, self.kv_draft, self.tokens,
+                     self._tree_bitmap, self._tree_parents, *common)
+        return self._commit_verify_result(out)
+
+    def reset(self):
+        super().reset()
+        self._tree_bitmap = jnp.eye(self.tree_size, dtype=bool)
+        self._tree_parents = jnp.zeros(self.tree_size, jnp.int32)

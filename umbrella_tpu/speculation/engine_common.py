@@ -1,0 +1,394 @@
+"""Shared engine machinery: prefill/append chunking, host decode loops, request API.
+
+The reference duplicates this across its two engines
+(`static_speculation_engine.py` / `dynamic_speculation_engine.py`); here it lives once
+and the engines supply only their tree build/verify phases.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.auto_model import AutoModelLM, ModelRuntime
+from ..ops.masks import causal_mask_rows
+from ..utils import TextColors, setup_logger
+from .base import BaseEngine
+from .spec_utils import is_sentence_complete_regex, next_bucket
+
+logger = setup_logger()
+
+PREFILL_BUCKETS = (32, 64, 128, 256, 512)
+PREFILL_CHUNK = 512
+
+
+class SpecEngineBase(BaseEngine):
+    """Common state + loops; subclasses implement initialize/build_tree/verify."""
+
+    ban_eos_at_prefill = False  # dynamic engine bans EOS as the first token (ref dynamic:130)
+
+    def __init__(
+        self,
+        draft_model_name: Union[str, ModelRuntime],
+        target_model_name: Union[str, ModelRuntime],
+        dtype=jnp.bfloat16,
+        device: Optional[str] = None,  # config parity; jax picks the backend
+        **kwargs,
+    ) -> None:
+        self.draft_model_name = draft_model_name
+        self.target_model_name = target_model_name
+        self.dtype = dtype
+        self.device = device
+        self.max_length = kwargs.pop("max_length", 8192)
+        self.stop_distance = kwargs.pop("stop_distance", 32)
+        self.safe_buffer = kwargs.pop("safe_buffer", 64)
+        self.temperature = kwargs.pop("temperature", 0.0)
+        self.topp = kwargs.pop("topp", 0.9)
+        self.repetition_penalty = kwargs.pop("repetition_penalty", 1.0)
+        self.topk = kwargs.pop("topk", 32)
+        self.tokenizer = kwargs.pop("tokenizer", None)
+        self.eos_token_ids = kwargs.pop("eos_token_ids", None)
+        self.seed = kwargs.pop("seed", 0)
+        self.config = kwargs
+
+    # ------------------------------------------------------------ model setup
+
+    def _load_model(self, spec, offload: bool) -> ModelRuntime:
+        if isinstance(spec, str):
+            return AutoModelLM.from_pretrained(
+                spec, offload=offload, max_length=self.max_length, dtype=self.dtype,
+                **self.config)
+        return spec
+
+    def _init_models_and_state(self):
+        self.draft_model = self._load_model(self.draft_model_name, offload=False)
+        self.target_model = self._load_model(
+            self.target_model_name, offload=self.config.get("offload", False))
+
+        if self.tokenizer is None and isinstance(self.target_model_name, str):
+            from transformers import AutoTokenizer
+
+            self.tokenizer = AutoTokenizer.from_pretrained(self.target_model_name)
+        if self.eos_token_ids is None:
+            self.eos_token_ids = self.target_model.eos_ids or [-1]
+        self._eos_arr = jnp.asarray(np.asarray(self.eos_token_ids, np.int32))
+
+        self.tokens_host = np.zeros(self.max_length, np.int32)
+        self.tokens = jnp.zeros(self.max_length, jnp.int32)
+        self.kv_draft = self.draft_model.init_kv()
+        self.kv_target = self.target_model.init_kv()
+        self.num_nodes = 0
+        self._key = jax.random.PRNGKey(self.seed)
+        self._build_prefill_phase()
+
+    # ------------------------------------------------------------ prefill
+
+    def _build_prefill_phase(self):
+        L = self.max_length
+        d_fwd = self.draft_model.forward
+        t_fused = self.target_model.supports_fused_phases
+        t_fwd = self.target_model.forward if t_fused else None
+        eos_arr = self._eos_arr
+        ban_eos = self.ban_eos_at_prefill
+
+        def emit_token(logits_row, tokens, start, n_valid):
+            if ban_eos:
+                logits_row = logits_row.at[eos_arr].set(-jnp.inf)
+            next_tok = jnp.argmax(logits_row).astype(jnp.int32)
+            return jax.lax.dynamic_update_slice(tokens, next_tok[None], (start + n_valid,))
+
+        def chunk_fn(pd, pt, kv_d, kv_t, tokens, start, n_valid, *, bucket, emit):
+            ids = jax.lax.dynamic_slice(tokens, (start,), (bucket,))
+            pos = start + jnp.arange(bucket, dtype=jnp.int32)
+            mask = causal_mask_rows(start, bucket, L)
+            _, kv_d = d_fwd(pd, kv_d, ids, pos, mask, start)
+            logits, kv_t = t_fwd(pt, kv_t, ids, pos, mask, start)
+            if emit:
+                tokens = emit_token(logits[n_valid - 1], tokens, start, n_valid)
+            return tokens, kv_d, kv_t
+
+        def chunk_draft_only_fn(pd, kv_d, tokens, start, *, bucket):
+            ids = jax.lax.dynamic_slice(tokens, (start,), (bucket,))
+            pos = start + jnp.arange(bucket, dtype=jnp.int32)
+            mask = causal_mask_rows(start, bucket, L)
+            _, kv_d = d_fwd(pd, kv_d, ids, pos, mask, start)
+            return kv_d
+
+        def emit_fn(logits_row, tokens, start, n_valid):
+            return emit_token(logits_row, tokens, start, n_valid)
+
+        self._prefill_cache = {}
+        self._prefill_draft_cache = {}
+        self._emit_jit = jax.jit(emit_fn, donate_argnums=(1,))
+
+        def get_prefill(bucket, emit):
+            k = (bucket, emit)
+            if k not in self._prefill_cache:
+                self._prefill_cache[k] = jax.jit(
+                    functools.partial(chunk_fn, bucket=bucket, emit=emit),
+                    donate_argnums=(2, 3, 4))
+            return self._prefill_cache[k]
+
+        def get_prefill_draft(bucket):
+            if bucket not in self._prefill_draft_cache:
+                self._prefill_draft_cache[bucket] = jax.jit(
+                    functools.partial(chunk_draft_only_fn, bucket=bucket),
+                    donate_argnums=(1,))
+            return self._prefill_draft_cache[bucket]
+
+        self._get_prefill = get_prefill
+        self._get_prefill_draft = get_prefill_draft
+        self._prefill_fused = t_fused
+
+    def _run_prefix(self, start: int, n_valid: int):
+        """Forward tokens[start : start+n_valid] through both models in static-shape
+        chunks, emitting the next token at tokens[start+n_valid]
+        (ref static:143-177 — prefill fills BOTH KV caches then argmaxes target)."""
+        pd, pt = self.draft_model.params, self.target_model.params
+        if self._prefill_fused:
+            off = 0
+            while n_valid - off > PREFILL_CHUNK:
+                fn = self._get_prefill(PREFILL_CHUNK, False)
+                self.tokens, self.kv_draft, self.kv_target = fn(
+                    pd, pt, self.kv_draft, self.kv_target, self.tokens,
+                    jnp.int32(start + off), jnp.int32(PREFILL_CHUNK))
+                off += PREFILL_CHUNK
+            rem = n_valid - off
+            bucket = next_bucket(rem, PREFILL_BUCKETS)
+            fn = self._get_prefill(bucket, True)
+            self.tokens, self.kv_draft, self.kv_target = fn(
+                pd, pt, self.kv_draft, self.kv_target, self.tokens,
+                jnp.int32(start + off), jnp.int32(rem))
+        else:
+            # offload target: draft chunks jitted; target layer-streamed
+            off = 0
+            last_logits, last_off = None, 0
+            while off < n_valid:
+                rem = n_valid - off
+                bucket = PREFILL_CHUNK if rem > PREFILL_CHUNK else next_bucket(rem, PREFILL_BUCKETS)
+                self.kv_draft = self._get_prefill_draft(bucket)(
+                    pd, self.kv_draft, self.tokens, jnp.int32(start + off))
+                ids = jax.lax.dynamic_slice(self.tokens, (jnp.int32(start + off),), (bucket,))
+                pos = start + off + jnp.arange(bucket, dtype=jnp.int32)
+                mask = causal_mask_rows(jnp.int32(start + off), bucket, self.max_length)
+                last_logits, self.kv_target = self.target_model.streamed_forward(
+                    self.kv_target, ids, pos, mask, jnp.int32(start + off))
+                last_off = off
+                off += min(rem, bucket)
+            self.tokens = self._emit_jit(
+                last_logits[n_valid - 1 - last_off],
+                self.tokens, jnp.int32(start), jnp.int32(n_valid))
+
+    def prefill(self, text: str):
+        ids = self.tokenizer.encode(text)
+        return self._prefill(np.asarray(ids, np.int32))
+
+    def append(self, text: str):
+        ids = self.tokenizer.encode(text)
+        return self._append(np.asarray(ids[1:], np.int32))
+
+    def _prefill(self, input_ids) -> bool:
+        input_ids = np.asarray(input_ids, np.int32).reshape(-1)
+        prefix_len = len(input_ids)
+        if prefix_len >= self.max_length - 2 * self.safe_buffer:
+            return False
+        self.tokens_host[:prefix_len] = input_ids
+        self.tokens = jnp.asarray(self.tokens_host)
+        self._run_prefix(0, prefix_len)
+        self.num_nodes = prefix_len
+        self.tokens_host[: prefix_len + 1] = np.asarray(self.tokens[: prefix_len + 1])
+        return True
+
+    def _append(self, input_ids) -> bool:
+        input_ids = np.asarray(input_ids, np.int32).reshape(-1)
+        append_len = len(input_ids)
+        if append_len + self.num_nodes >= self.max_length - 2 * self.safe_buffer:
+            return False
+        start = self.num_nodes
+        # tokens[start] already holds last iteration's trailing token (ref :183-185)
+        self.tokens_host[start + 1 : start + 1 + append_len] = input_ids
+        self.tokens = jnp.asarray(self.tokens_host)
+        n_valid = append_len + 1
+        self._run_prefix(start, n_valid)
+        self.num_nodes = start + n_valid
+        self.tokens_host[: self.num_nodes + 1] = np.asarray(self.tokens[: self.num_nodes + 1])
+        return True
+
+    # ------------------------------------------------------------ host helpers
+
+    def _commit_verify_result(self, out) -> bool:
+        """Unpack a verify_tail result tuple, sync host state, return continue flag."""
+        (self.tokens, self.kv_target, self.kv_draft,
+         _num_nodes_new, accept_len, eos_found, block) = out
+        accept_len = int(accept_len)
+        block = np.asarray(block)
+        old = self.num_nodes
+        self.num_nodes = old + accept_len
+        end = min(old + len(block), self.max_length)
+        self.tokens_host[old:end] = block[: end - old]
+        return not bool(eos_found)
+
+    def _decode_words(self, generated_ids):
+        if self.tokenizer is None:
+            return [str(t) for t in generated_ids] or [""]
+        return (self.tokenizer.decode(
+            generated_ids, skip_special_tokens=True,
+            clean_up_tokenization_spaces=False).strip().split(" "))
+
+    def validate_status(self) -> bool:
+        return self.num_nodes <= (self.max_length - self.safe_buffer)
+
+    def update_generation_args(self, **generation_args):
+        self.temperature = generation_args.pop("temperature", self.temperature)
+        self.topp = generation_args.pop("topp", self.topp)
+        self.repetition_penalty = generation_args.pop("repetition_penalty", self.repetition_penalty)
+        self.topk = generation_args.pop("topk", self.topk)
+
+    def reset(self):
+        self.num_nodes = 0
+        self.tokens_host[:] = 0
+        self.tokens = jnp.zeros(self.max_length, jnp.int32)
+        self.kv_draft = self.draft_model.init_kv()
+        self.kv_target = self.target_model.init_kv()
+
+    # ------------------------------------------------------------ decode loops
+
+    def speculative_decoding(self, max_new_tokens: int = 128):
+        max_new_tokens = max(max_new_tokens, self.stop_distance)
+        jax.block_until_ready(self.tokens)
+        t1 = time.time()
+        large_model_step = 0
+        decode = True
+        start = self.num_nodes
+        generated_ids = []
+        pos = 0
+        generated_text = [""]
+        while decode and self.validate_status():
+            begin = self.num_nodes
+            self.build_tree()
+            decode = self.verify()
+            large_model_step += 1
+            generated_ids.extend(self.tokens_host[begin : self.num_nodes].tolist())
+            generated_text = self._decode_words(generated_ids)
+            now = len(generated_text) - 1
+            if now > pos:
+                print(" ".join(generated_text[pos:now]), end=" ", flush=True)
+                pos = now
+            if (is_sentence_complete_regex(generated_text[-1])
+                    and (self.num_nodes - start >= max_new_tokens - self.stop_distance)) \
+                    or (self.num_nodes - start >= max_new_tokens):
+                decode = False
+        print(" ".join(generated_text[pos:]), flush=True)
+        jax.block_until_ready(self.tokens)
+        t2 = time.time()
+        dec_len = self.num_nodes - start + 1
+        logger.info(TextColors.colorize(
+            "Avg Accept Tokens {:.2f} | TPOT {:.2f} ms ".format(
+                dec_len / large_model_step, 1000 * (t2 - t1) / dec_len), "magenta"))
+        return dec_len, (t2 - t1), large_model_step
+
+    def _start_request(self, api_args):
+        input_ids = api_args.get("input_ids", None)
+        max_new_tokens = api_args.get("max_new_tokens", 128)
+        empty = dict(generated_text="", generated_tokens=[], avg_accept_tokens=0,
+                     time_per_output_token=0)
+        if input_ids is None:
+            context = api_args.get("context", None)
+            if context is None or len(context) == 0 or max_new_tokens == 0:
+                api_args.update(empty)
+                return False, api_args
+            success = self.prefill(context)
+        else:
+            if len(input_ids) == 0 or max_new_tokens == 0:
+                api_args.update(empty)
+                return False, api_args
+            success = self._prefill(np.asarray(input_ids, np.int32))
+        if not success:
+            api_args.update(empty)
+            self.reset()
+            return False, api_args
+        return True, None
+
+    def generate(self, **api_args):
+        self.update_generation_args(**api_args)
+        ok, early = self._start_request(api_args)
+        if not ok:
+            return early
+        max_new_tokens = api_args.get("max_new_tokens", 128)
+
+        jax.block_until_ready(self.tokens)
+        t1 = time.time()
+        large_model_step = 0
+        decode = True
+        start = self.num_nodes
+        while decode and (self.num_nodes - start) < max_new_tokens and self.validate_status():
+            self.build_tree()
+            decode = self.verify()
+            large_model_step += 1
+        jax.block_until_ready(self.tokens)
+        t2 = time.time()
+
+        dec_len = self.num_nodes - start + 1
+        out_tokens = self.tokens_host[start : self.num_nodes + 1].tolist()
+        generated_text = (self.tokenizer.decode(
+            out_tokens, skip_special_tokens=True, clean_up_tokenization_spaces=False)
+            if self.tokenizer else "")
+        api_args["generated_text"] = generated_text
+        api_args["generated_tokens"] = out_tokens
+        api_args["avg_accept_tokens"] = dec_len / large_model_step
+        api_args["time_per_output_token"] = 1000 * (t2 - t1) / dec_len
+        self.reset()
+        return api_args
+
+    def generate_stream(self, **api_args):
+        self.update_generation_args(**api_args)
+        ok, early = self._start_request(api_args)
+        if not ok:
+            yield "Exceeding reserved allowed context length", "Exceeding reserved allowed context length"
+            return
+        max_new_tokens = max(api_args.get("max_new_tokens", 128), self.stop_distance)
+
+        jax.block_until_ready(self.tokens)
+        t1 = time.time()
+        large_model_step = 0
+        decode = True
+        start = self.num_nodes
+        generated_ids = []
+        pos = 0
+        partial_text = ""
+        generated_text_list = [""]
+        while decode and self.validate_status():
+            begin = self.num_nodes
+            self.build_tree()
+            decode = self.verify()
+            large_model_step += 1
+            generated_ids.extend(self.tokens_host[begin : self.num_nodes].tolist())
+            generated_text_list = self._decode_words(generated_ids)
+            now = len(generated_text_list) - 1
+            if now > pos:
+                partial_text += " ".join(generated_text_list[pos:now]) + " "
+                t2 = time.time()
+                dec_len = self.num_nodes - start + 1
+                perf_log = "Output Tokens {} | Avg Accept Tokens {:.2f} | TPOT {:.2f} ms ".format(
+                    dec_len, dec_len / large_model_step, 1000 * (t2 - t1) / dec_len)
+                yield partial_text, perf_log
+                pos = now
+            if (is_sentence_complete_regex(generated_text_list[-1])
+                    and (self.num_nodes - start >= max_new_tokens - self.stop_distance)) \
+                    or ((self.num_nodes - start) >= max_new_tokens):
+                decode = False
+
+        final_piece = " ".join(generated_text_list[pos:])
+        if final_piece:
+            partial_text += final_piece
+        t2 = time.time()
+        dec_len = self.num_nodes - start + 1
+        perf_log = "Output Tokens {} | Avg Accept Tokens {:.2f} | TPOT {:.2f} ms ".format(
+            dec_len, dec_len / large_model_step, 1000 * (t2 - t1) / dec_len)
+        yield partial_text, perf_log
+        logger.info(TextColors.colorize(perf_log, "magenta"))
+        self.reset()
