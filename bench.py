@@ -1,0 +1,98 @@
+"""End-of-round benchmark — prints ONE JSON line {metric, value, unit, vs_baseline}.
+
+Workload: the product's hot loop — static Sequoia-tree speculative decoding, batch 1,
+greedy — on Llama-3.2-1B-shape target + Llama-68M-shape draft (random bf16 weights;
+checkpoints are unavailable in this sandbox, so acceptance is the structural floor of
+~1 bonus token per verify; tok/s here therefore ≈ full-pipeline steps/sec, a strict
+LOWER bound on real-acceptance throughput). Baseline: reference RTX 4090
+Llama3.1-8B + 1B draft MT-Bench = 100.7 tok/s (BASELINE.md) — note the baseline model
+is ~8x larger; vs_baseline is reported against it until AWQ 8B fits on-chip.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from umbrella_tpu.config import ModelConfig
+    from umbrella_tpu.models.auto_model import random_runtime
+    from umbrella_tpu.sequoia import growmap_from_spec
+    from umbrella_tpu.speculation.static_engine import StaticEngine
+
+    platform = jax.devices()[0].platform
+    max_len = 2048
+
+    target_cfg = ModelConfig(
+        vocab_size=128256, hidden_size=2048, intermediate_size=8192,
+        num_hidden_layers=16, num_attention_heads=32, num_key_value_heads=8,
+        rope_theta=500000.0, max_position_embeddings=max_len,
+        tie_word_embeddings=True, eos_token_id=-100,
+    )
+    draft_cfg = ModelConfig(
+        vocab_size=128256, hidden_size=768, intermediate_size=3072,
+        num_hidden_layers=2, num_attention_heads=12, num_key_value_heads=12,
+        rope_theta=500000.0, max_position_embeddings=max_len,
+        tie_word_embeddings=True, eos_token_id=-100,
+    )
+    dtype = jnp.bfloat16
+    target = random_runtime(target_cfg, max_len, dtype=dtype, seed=0)
+    draft = random_runtime(draft_cfg, max_len, dtype=dtype, seed=1)
+
+    gm = growmap_from_spec(5, 6, acc=[0.55, 0.2, 0.1, 0.06, 0.05, 0.04])
+    eng = StaticEngine(
+        draft_model_name=draft, target_model_name=target, dtype=dtype,
+        growmap=gm, max_length=max_len, eos_token_ids=[-100], temperature=0.0)
+    eng.initialize()
+
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, 120000, size=128).astype(np.int32)
+
+    # warmup (compiles prefill buckets + build_tree + verify)
+    assert eng._prefill(prompt)
+    eng.build_tree()
+    eng.verify()
+    jax.block_until_ready(eng.tokens)
+
+    # timed run
+    eng.reset()
+    assert eng._prefill(prompt)
+    start = eng.num_nodes
+    jax.block_until_ready(eng.tokens)
+    t0 = time.time()
+    steps = 0
+    while (eng.num_nodes - start) < 192 and eng.validate_status():
+        eng.build_tree()
+        eng.verify()
+        steps += 1
+    jax.block_until_ready(eng.tokens)
+    dt = time.time() - t0
+
+    dec_len = eng.num_nodes - start + 1
+    toks_per_sec = dec_len / dt
+    step_ms = 1000 * dt / steps
+    baseline = 100.7  # RTX 4090, Llama3.1-8B + 1B draft, MT-Bench (BASELINE.md)
+
+    result = {
+        "metric": "spec_decode_tokens_per_sec_1b_target_68m_draft_greedy",
+        "value": round(toks_per_sec, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(toks_per_sec / baseline, 3),
+        "detail": {
+            "platform": platform,
+            "steps": steps,
+            "decode_step_ms": round(step_ms, 2),
+            "avg_accept_tokens": round(dec_len / steps, 2),
+            "tree": "sequoia-5x6 (31 nodes)",
+            "note": "random weights => acceptance floor ~1/step; value is a lower bound",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""AWQ quantization tests: HF-format round trips, dequant math, fused kernel
+(interpret mode), and quantized end-to-end decode."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from umbrella_tpu.quantization.awq import (
+    AwqTensor, awq_from_hf_tensors, awq_matmul, dequantize, pack_awq_numpy,
+    pack_tpu_layout, quantize_matrix, unpack_awq_numpy)
+from umbrella_tpu.quantization.loader import quantize_params
+
+
+def test_awq_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    K, N, g = 64, 64, 32
+    int_w = rng.integers(0, 16, size=(K, N)).astype(np.int8)
+    int_z = rng.integers(0, 16, size=(K // g, N)).astype(np.int8)
+    qweight, qzeros = pack_awq_numpy(int_w, int_z)
+    assert qweight.shape == (K, N // 8) and qweight.dtype == np.int32
+    uw, uz = unpack_awq_numpy(qweight, qzeros)
+    np.testing.assert_array_equal(uw, int_w)
+    np.testing.assert_array_equal(uz, int_z)
+
+
+def test_hf_tensors_to_tpu_layout_dequant():
+    rng = np.random.default_rng(1)
+    K, N, g = 256, 128, 128
+    int_w = rng.integers(0, 16, size=(K, N)).astype(np.int8)
+    int_z = rng.integers(0, 16, size=(K // g, N)).astype(np.int8)
+    scales = rng.uniform(0.01, 0.1, size=(K // g, N)).astype(np.float32)
+    qweight, qzeros = pack_awq_numpy(int_w, int_z)
+
+    q = awq_from_hf_tensors(qweight, qzeros, scales, dtype=jnp.float32)
+    got = np.asarray(dequantize(q, dtype=jnp.float32))
+    ref = (int_w.astype(np.float32)
+           - np.repeat(int_z, g, 0).astype(np.float32)) * np.repeat(scales, g, 0)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_matrix_error_bound():
+    rng = np.random.default_rng(2)
+    K, N, g = 256, 64, 128
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    int_w, int_z, scales = quantize_matrix(w, g)
+    q = pack_tpu_layout(int_w, int_z, scales, dtype=jnp.float32)
+    wdq = np.asarray(dequantize(q, dtype=jnp.float32))
+    err = np.abs(wdq - w)
+    bound = np.repeat(scales, g, 0) * 0.5 + 1e-6
+    assert (err <= bound).all()
+
+
+def test_awq_matmul_xla_path_matches_dense():
+    rng = np.random.default_rng(3)
+    K, N, g, S = 256, 128, 128, 8
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    int_w, int_z, scales = quantize_matrix(w, g)
+    q = pack_tpu_layout(int_w, int_z, scales, dtype=jnp.float32)
+    x = rng.standard_normal((S, K)).astype(np.float32)
+    y = np.asarray(awq_matmul(jnp.asarray(x), q, prefer_fused=False))
+    ref = x @ np.asarray(dequantize(q, dtype=jnp.float32))
+    np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_w4a16_pallas_kernel_interpret():
+    from umbrella_tpu.ops.pallas.w4a16 import w4a16_matmul
+
+    rng = np.random.default_rng(4)
+    K, N, g, S = 512, 256, 128, 8
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    int_w, int_z, scales = quantize_matrix(w, g)
+    q = pack_tpu_layout(int_w, int_z, scales, dtype=jnp.bfloat16)
+    x = rng.standard_normal((S, K)).astype(np.float32) * 0.1
+
+    y = np.asarray(w4a16_matmul(jnp.asarray(x, jnp.bfloat16), q, interpret=True), np.float32)
+    ref = (x.astype(np.float32) @ np.asarray(dequantize(q, jnp.float32), np.float32))
+    # bf16 inputs => ~1e-2 relative tolerance
+    np.testing.assert_allclose(y[:S], ref, rtol=5e-2, atol=5e-2)
+
+
+def test_quantized_model_decode(tiny_cfg):
+    """Quantize a tiny model; greedy spec decode still runs and stays lossless w.r.t.
+    the quantized model's own AR decode."""
+    import dataclasses
+
+    from umbrella_tpu.models.auto_model import ModelRuntime, random_runtime
+    from umbrella_tpu.sequoia import growmap_from_spec
+    from umbrella_tpu.speculation.static_engine import StaticEngine
+    from test_static_engine import MAX_LEN, _greedy_ar_decode
+
+    cfg = dataclasses.replace(tiny_cfg, hidden_size=256, intermediate_size=256,
+                              num_attention_heads=4, num_key_value_heads=2)
+    base = random_runtime(cfg, MAX_LEN, seed=0)
+    qparams = quantize_params(base.params, group_size=128, dtype=jnp.float32)
+    target = ModelRuntime(cfg, qparams, MAX_LEN, dtype=jnp.float32)
+    draft = random_runtime(cfg, MAX_LEN, seed=1)
+
+    eng = StaticEngine(
+        draft_model_name=draft, target_model_name=target, dtype=jnp.float32,
+        growmap=growmap_from_spec(3, 4), max_length=MAX_LEN, safe_buffer=32,
+        eos_token_ids=[-1])
+    eng.initialize()
+    assert eng._prefill(np.asarray([1, 9, 23]))
+    start = eng.num_nodes
+    for _ in range(4):
+        eng.build_tree()
+        eng.verify()
+    produced = eng.tokens_host[start : eng.num_nodes + 1].tolist()
+    oracle = _greedy_ar_decode(target, [1, 9, 23], len(produced))
+    assert produced == oracle[: len(produced)]

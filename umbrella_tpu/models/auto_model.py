@@ -145,7 +145,7 @@ class AutoModelLM:
         n_layers = exit_layer if (exit_layer and exit_layer > 0) else None
 
         if cfg.quantization and cfg.quantization.get("method") == "awq":
-            from ..quantization.awq import load_awq_runtime
+            from ..quantization.loader import load_awq_runtime
 
             return load_awq_runtime(
                 model_name, cfg, max_length=max_length, dtype=dtype,

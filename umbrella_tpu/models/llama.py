@@ -55,7 +55,12 @@ class StaticModelArgs(NamedTuple):
         )
 
 
-def _linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+def _linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Dense or AWQ-quantized linear; w may be an array [in, out] or an AwqTensor."""
+    from ..quantization.awq import AwqTensor, awq_matmul
+
+    if isinstance(w, AwqTensor):
+        return awq_matmul(x, w, b)
     y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
     if b is not None:
         y = y + b.astype(x.dtype)
@@ -126,7 +131,7 @@ def llama_forward(
     """Full forward; returns (fp32 logits [S, V], updated kv)."""
     layers = params["layers"]
     cos, sin = params["rope_cos"], params["rope_sin"]
-    hidden = params["embed"][input_ids].astype(params["layers"]["wq"].dtype)
+    hidden = params["embed"][input_ids].astype(params["final_norm"].dtype)
 
     def body(carry, xs):
         hidden, kv = carry

@@ -1,0 +1,158 @@
+"""AWQ W4A16 weight-only quantization, TPU-native.
+
+Checkpoint compatibility: reads the HF AutoAWQ "GEMM" format the reference serves
+(`qweight` int32 [K, N/8] nibble-packed along N with the AWQ interleave order,
+`qzeros` int32 [K/g, N/8], `scales` fp16 [K/g, N]; reference
+`umbrella/quantization/awq_utils.py:18-30`). Dequant: w = (int4 - zero) * scale.
+
+TPU storage layout ("split-halves" packing — designed so the matmul kernel never
+interleaves lanes or sublanes):
+    w8     uint8 [K/2, N]  — low nibble = original row r, high nibble = row r + K/2
+    scales bf16  [K/g, N]
+    zeros  bf16  [K/g, N]  (zero-point pre-cast, so dequant is one fused (w-z)*s)
+Then  x @ W == x[:, :K/2] @ deq(lo(w8)) + x[:, K/2:] @ deq(hi(w8))
+with both halves in ORIGINAL row order — no permutation anywhere in the hot path.
+
+Two matmul paths mirroring the reference's size heuristic (`awq_utils.py:67-77`):
+  - many tokens (prefill): dequantize the whole matrix to bf16 once, XLA matmul;
+  - few tokens (tree decode): fused Pallas dequant+matmul streaming w8 through VMEM.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+AWQ_REVERSE_ORDER = np.array([0, 4, 1, 5, 2, 6, 3, 7])
+
+# tokens >= this use dequant-to-bf16 + XLA matmul (reference awq_utils.py:67)
+FP16_MATMUL_HEURISTIC_TOKENS = 1024
+
+
+def unpack_awq_numpy(qweight: np.ndarray, qzeros: np.ndarray, bits: int = 4):
+    """AutoAWQ GEMM-format unpack -> (int_weights [K, N], int_zeros [K/g, N])."""
+    assert bits == 4
+    shifts = np.arange(0, 32, bits, dtype=np.uint32)
+
+    def unpack(packed):
+        x = (packed.astype(np.uint32)[:, :, None] >> shifts[None, None, :]) & 0xF
+        x = x.reshape(packed.shape[0], -1)
+        # undo the AWQ nibble interleave within each group of 8 columns
+        idx = (np.arange(x.shape[1]).reshape(-1, 8)[:, AWQ_REVERSE_ORDER]).reshape(-1)
+        return x[:, idx].astype(np.int8)
+
+    return unpack(qweight), unpack(qzeros)
+
+
+def pack_awq_numpy(int_weights: np.ndarray, int_zeros: np.ndarray, bits: int = 4):
+    """Inverse of unpack (for tests / synthetic checkpoints)."""
+    assert bits == 4
+    AWQ_ORDER = np.argsort(AWQ_REVERSE_ORDER)  # forward interleave
+
+    def pack(x):
+        idx = (np.arange(x.shape[1]).reshape(-1, 8)[:, AWQ_ORDER]).reshape(-1)
+        x = x[:, idx].astype(np.uint32).reshape(x.shape[0], -1, 8)
+        shifts = np.arange(0, 32, bits, dtype=np.uint32)
+        return (x << shifts[None, None, :]).sum(-1).astype(np.uint32).view(np.int32)
+
+    return pack(int_weights), pack(int_zeros)
+
+
+class AwqTensor(NamedTuple):
+    """Split-halves packed W4 linear weight (logical shape [K, N])."""
+    w8: jnp.ndarray  # uint8 [K/2, N]
+    scales: jnp.ndarray  # [K/g, N]
+    zeros: jnp.ndarray  # [K/g, N] (same dtype as scales)
+
+    @property
+    def k(self) -> int:
+        return 2 * self.w8.shape[-2]
+
+    @property
+    def n(self) -> int:
+        return self.w8.shape[-1]
+
+    @property
+    def group_size(self) -> int:
+        return self.k // self.scales.shape[-2]
+
+
+def pack_tpu_layout(int_weights: np.ndarray, int_zeros: np.ndarray,
+                    scales: np.ndarray, dtype=jnp.bfloat16) -> AwqTensor:
+    """[K, N] int4 values (+ per-group zeros/scales) -> split-halves AwqTensor."""
+    K, N = int_weights.shape
+    assert K % 2 == 0
+    lo = int_weights[: K // 2].astype(np.uint8)
+    hi = int_weights[K // 2 :].astype(np.uint8)
+    w8 = (lo | (hi << 4)).astype(np.uint8)
+    return AwqTensor(
+        w8=jnp.asarray(w8),
+        scales=jnp.asarray(scales).astype(dtype),
+        zeros=jnp.asarray(int_zeros.astype(np.float32)).astype(dtype),
+    )
+
+
+def quantize_matrix(w: np.ndarray, group_size: int = 128):
+    """AWQ-style symmetric-range quantization of [K, N] fp weights (per-group along K).
+
+    Returns (int_weights [K,N] in [0,15], int_zeros [K/g,N], scales [K/g,N]).
+    Used for tests and for quantizing random/bench models; real checkpoints ship
+    their own qweight/qzeros/scales.
+    """
+    K, N = w.shape
+    assert K % group_size == 0
+    g = w.reshape(K // group_size, group_size, N)
+    w_max = g.max(axis=1)
+    w_min = g.min(axis=1)
+    scales = np.maximum((w_max - w_min) / 15.0, 1e-8)
+    zeros = np.clip(np.round(-w_min / scales), 0, 15)
+    q = np.clip(np.round(g / scales[:, None, :]) + zeros[:, None, :], 0, 15)
+    return (q.reshape(K, N).astype(np.int8), zeros.astype(np.int8),
+            scales.astype(np.float32))
+
+
+def dequantize(q: AwqTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Full dequant to [K, N] dtype (the many-token path; XLA fuses into the matmul)."""
+    g = q.group_size
+    lo = (q.w8 & 0xF).astype(dtype)
+    hi = (q.w8 >> 4).astype(dtype)
+    w = jnp.concatenate([lo, hi], axis=-2)  # [K, N] original row order
+    scales = jnp.repeat(q.scales, g, axis=-2)
+    zeros = jnp.repeat(q.zeros, g, axis=-2)
+    return (w - zeros) * scales
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def awq_matmul(x: jnp.ndarray, q: AwqTensor, bias: Optional[jnp.ndarray] = None,
+               prefer_fused: Optional[bool] = None) -> jnp.ndarray:
+    """y = x @ W for split-halves W4 weights; x [..., K] -> [..., N].
+
+    Size heuristic mirrors the reference (`awq_utils.py:67-77`): big token counts
+    dequantize once and ride the MXU in bf16; small counts use the fused kernel.
+    """
+    tokens = int(np.prod(x.shape[:-1]))
+    if prefer_fused is None:
+        prefer_fused = tokens < FP16_MATMUL_HEURISTIC_TOKENS and _use_pallas()
+    if prefer_fused:
+        from ..ops.pallas.w4a16 import w4a16_matmul
+
+        y = w4a16_matmul(x.reshape(tokens, x.shape[-1]), q)
+        y = y.reshape(*x.shape[:-1], q.n)
+    else:
+        w = dequantize(q, dtype=x.dtype)
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def awq_from_hf_tensors(qweight: np.ndarray, qzeros: np.ndarray, scales: np.ndarray,
+                        dtype=jnp.bfloat16) -> AwqTensor:
+    """HF AutoAWQ GEMM tensors -> TPU split-halves layout."""
+    int_w, int_z = unpack_awq_numpy(qweight, qzeros)
+    return pack_tpu_layout(int_w, int_z, scales.astype(np.float32), dtype=dtype)

@@ -1,0 +1,115 @@
+"""AWQ checkpoint -> quantized llama-family runtime.
+
+Reads HF AutoAWQ "GEMM" checkpoints (the format the reference serves through
+`WQLinear_GEMM`, ref `awq_utils.py:18-30`) and builds the same param pytree as
+models/weights.py, with linear weights as split-halves AwqTensors (stacked along the
+layer axis for `lax.scan`). Embeddings, norms, and lm_head stay fp (AWQ leaves them
+unquantized). Also provides `quantize_params` to AWQ-quantize an fp checkpoint/random
+model in-process (used by tests and benchmarks; the reference has no equivalent — it
+can only load pre-quantized hubs).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..models.weights import _load_state_dict_np, _to_jnp
+from ..ops.rope import precompute_rope_cache
+from .awq import AwqTensor, awq_from_hf_tensors, pack_tpu_layout, quantize_matrix
+
+
+def _stack_awq(tensors) -> AwqTensor:
+    return AwqTensor(
+        w8=jnp.stack([t.w8 for t in tensors]),
+        scales=jnp.stack([t.scales for t in tensors]),
+        zeros=jnp.stack([t.zeros for t in tensors]),
+    )
+
+
+def awq_params_from_hf_state_dict(
+    sd: Dict[str, np.ndarray], cfg: ModelConfig, max_length: int,
+    dtype=jnp.bfloat16, n_layers: Optional[int] = None,
+) -> dict:
+    n = n_layers if n_layers is not None else cfg.num_hidden_layers
+    P = "model."
+
+    def fp(name):
+        a = sd[name]
+        return a.astype(np.float32) if a.dtype == np.float16 else a
+
+    def q_linear(fmt):
+        ts = []
+        for i in range(n):
+            base = fmt.format(i)
+            ts.append(awq_from_hf_tensors(
+                sd[base + ".qweight"], sd[base + ".qzeros"],
+                fp(base + ".scales"), dtype=dtype))
+        return _stack_awq(ts)
+
+    def stack_vec(fmt):
+        return _to_jnp(np.stack([fp(fmt.format(i)) for i in range(n)]), dtype)
+
+    layers = {
+        "input_norm": stack_vec(P + "layers.{}.input_layernorm.weight"),
+        "post_norm": stack_vec(P + "layers.{}.post_attention_layernorm.weight"),
+        "wq": q_linear(P + "layers.{}.self_attn.q_proj"),
+        "wk": q_linear(P + "layers.{}.self_attn.k_proj"),
+        "wv": q_linear(P + "layers.{}.self_attn.v_proj"),
+        "wo": q_linear(P + "layers.{}.self_attn.o_proj"),
+        "gate": q_linear(P + "layers.{}.mlp.gate_proj"),
+        "up": q_linear(P + "layers.{}.mlp.up_proj"),
+        "down": q_linear(P + "layers.{}.mlp.down_proj"),
+    }
+    if P + "layers.0.self_attn.q_proj.bias" in sd:
+        layers["bq"] = stack_vec(P + "layers.{}.self_attn.q_proj.bias")
+        layers["bk"] = stack_vec(P + "layers.{}.self_attn.k_proj.bias")
+        layers["bv"] = stack_vec(P + "layers.{}.self_attn.v_proj.bias")
+
+    cos, sin = precompute_rope_cache(cfg, max_length)
+    params = {
+        "embed": _to_jnp(fp(P + "embed_tokens.weight"), dtype),
+        "final_norm": _to_jnp(fp(P + "norm.weight"), dtype),
+        "layers": layers,
+        "rope_cos": cos,
+        "rope_sin": sin,
+    }
+    if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
+        params["lm_head"] = _to_jnp(fp("lm_head.weight").T, dtype)
+    return params
+
+
+def load_awq_runtime(path: str, cfg: ModelConfig, max_length: int, dtype=jnp.bfloat16,
+                     family: str = "llama", n_layers: Optional[int] = None,
+                     offload: bool = False, num_cache_layers: int = 0):
+    sd = _load_state_dict_np(path)
+    if offload:
+        from ..offload.streaming import OffloadModelRuntime
+
+        return OffloadModelRuntime.from_state_dict(
+            sd, cfg, max_length=max_length, dtype=dtype, family=family,
+            n_layers=n_layers, num_cache_layers=num_cache_layers, quantized=True,
+            model_name=path)
+    from ..models.auto_model import ModelRuntime
+
+    params = awq_params_from_hf_state_dict(sd, cfg, max_length, dtype, n_layers=n_layers)
+    return ModelRuntime(cfg, params, max_length, dtype=dtype, family=family,
+                        n_layers=n_layers, model_name=path)
+
+
+def quantize_params(params: dict, group_size: int = 128, dtype=jnp.bfloat16) -> dict:
+    """AWQ-quantize an fp llama-family param pytree in place (linear weights only)."""
+    out_layers = dict(params["layers"])
+    n = params["layers"]["input_norm"].shape[0]
+    for name in ("wq", "wk", "wv", "wo", "gate", "up", "down"):
+        stacked = np.asarray(params["layers"][name], np.float32)
+        ts = []
+        for i in range(n):
+            int_w, int_z, scales = quantize_matrix(stacked[i], group_size)
+            ts.append(pack_tpu_layout(int_w, int_z, scales, dtype=dtype))
+        out_layers[name] = _stack_awq(ts)
+    out = dict(params)
+    out["layers"] = out_layers
+    return out
