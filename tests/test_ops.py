@@ -105,8 +105,8 @@ def test_attend_dense_gqa_matches_naive():
     S, H, KVH, D, L = 4, 4, 2, 8, 12
     rng = np.random.default_rng(0)
     q = rng.standard_normal((S, H, D), dtype=np.float32)
-    k = rng.standard_normal((L, KVH, D), dtype=np.float32)
-    v = rng.standard_normal((L, KVH, D), dtype=np.float32)
+    k = rng.standard_normal((KVH, L, D), dtype=np.float32)
+    v = rng.standard_normal((KVH, L, D), dtype=np.float32)
     mask = rng.random((S, L)) > 0.3
     mask[:, 0] = True  # every row attends something
     out = np.asarray(attend_dense(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask)))
@@ -115,11 +115,11 @@ def test_attend_dense_gqa_matches_naive():
     ref = np.zeros_like(out)
     for h in range(H):
         kvh = h // (H // KVH)
-        s = (q[:, h] @ k[:, kvh].T) / np.sqrt(D)
+        s = (q[:, h] @ k[kvh].T) / np.sqrt(D)
         s = np.where(mask, s, -1e30)
         p = np.exp(s - s.max(-1, keepdims=True))
         p /= p.sum(-1, keepdims=True)
-        ref[:, h] = p @ v[:, kvh]
+        ref[:, h] = p @ v[kvh]
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
 
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import ModelConfig
-from ..ops.attention import attend_dense
+from ..ops.attention import attend
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, precompute_rope_cache
 from .kv_cache import KVCache, update_layer
@@ -89,7 +89,7 @@ def llama_attention(
     kv = update_layer(kv, layer_idx, k, v, write_offset)
     k_cache = lax.dynamic_index_in_dim(kv.k, layer_idx, axis=0, keepdims=False)
     v_cache = lax.dynamic_index_in_dim(kv.v, layer_idx, axis=0, keepdims=False)
-    out = attend_dense(q, k_cache, v_cache, attn_mask)
+    out = attend(q, k_cache, v_cache, attn_mask, kv_limit=write_offset + S)
     return _linear(out.reshape(S, args.num_heads * D), lw["wo"]), kv
 
 

@@ -1,0 +1,228 @@
+"""Host-DRAM weight streaming ("offload") runtime.
+
+TPU-native counterpart of the reference's PCIe offload engine
+(`umbrella/models/llama.py:145-219`): target weights live in host memory; the first
+`num_cache_layers` layers stay resident in HBM; remaining layers stream host->HBM
+while the previous layer computes. The reference ping-pongs two device buffers on a
+dedicated CUDA stream with a blanket synchronize per layer (`llama.py:207-212`);
+here each layer is a jitted step and `jax.device_put` issues the async H2D copy for
+layer i+1 BEFORE dispatching layer i's compute — JAX's async dispatch overlaps the
+DMA with the MXU work, and the donated KV keeps updates in place.
+
+Works for fp (bf16) and AWQ-quantized layers (4-bit quarters the host->HBM traffic —
+the reason the reference's 70B-on-24GB configs are AWQ).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..models.kv_cache import init_kv_cache
+from ..models.llama import StaticModelArgs, llama_layer
+from ..ops.norms import rms_norm
+from ..ops.rope import precompute_rope_cache
+from ..quantization.awq import awq_from_hf_tensors
+
+
+def _split_stacked(params: dict) -> (dict, List[dict]):
+    """Split a stacked llama param pytree into (top, per-layer host dicts)."""
+    layers = params["layers"]
+    n = int(np.asarray(layers["input_norm"]).shape[0])
+    per_layer = []
+    for i in range(n):
+        per_layer.append(jax.tree.map(lambda x: np.asarray(x[i]), layers,
+                                      is_leaf=lambda x: not isinstance(x, dict)))
+    top = {k: v for k, v in params.items() if k != "layers"}
+    return top, per_layer
+
+
+def _fp_layer_from_sd(sd, i: int, np_dtype) -> dict:
+    P = f"model.layers.{i}."
+
+    def get(name):
+        a = sd[P + name]
+        return (a.astype(np.float32) if a.dtype == np.float16 else a)
+
+    d = {
+        "input_norm": get("input_layernorm.weight").astype(np_dtype),
+        "post_norm": get("post_attention_layernorm.weight").astype(np_dtype),
+        "wq": get("self_attn.q_proj.weight").T.astype(np_dtype),
+        "wk": get("self_attn.k_proj.weight").T.astype(np_dtype),
+        "wv": get("self_attn.v_proj.weight").T.astype(np_dtype),
+        "wo": get("self_attn.o_proj.weight").T.astype(np_dtype),
+        "gate": get("mlp.gate_proj.weight").T.astype(np_dtype),
+        "up": get("mlp.up_proj.weight").T.astype(np_dtype),
+        "down": get("mlp.down_proj.weight").T.astype(np_dtype),
+    }
+    if P + "self_attn.q_proj.bias" in sd:
+        d["bq"] = get("self_attn.q_proj.bias").astype(np_dtype)
+        d["bk"] = get("self_attn.k_proj.bias").astype(np_dtype)
+        d["bv"] = get("self_attn.v_proj.bias").astype(np_dtype)
+    return d
+
+
+def _awq_layer_from_sd(sd, i: int, dtype) -> dict:
+    P = f"model.layers.{i}."
+
+    def fp(name):
+        a = sd[P + name]
+        return a.astype(np.float32) if a.dtype == np.float16 else a
+
+    def q(base):
+        t = awq_from_hf_tensors(sd[P + base + ".qweight"], sd[P + base + ".qzeros"],
+                                fp(base + ".scales"), dtype=dtype)
+        # keep host-side as numpy for pinned-host storage
+        return type(t)(*(np.asarray(x) for x in t))
+
+    d = {
+        "input_norm": fp("input_layernorm.weight"),
+        "post_norm": fp("post_attention_layernorm.weight"),
+        "wq": q("self_attn.q_proj"), "wk": q("self_attn.k_proj"),
+        "wv": q("self_attn.v_proj"), "wo": q("self_attn.o_proj"),
+        "gate": q("mlp.gate_proj"), "up": q("mlp.up_proj"), "down": q("mlp.down_proj"),
+    }
+    if P + "self_attn.q_proj.bias" in sd:
+        d["bq"] = fp("self_attn.q_proj.bias")
+        d["bk"] = fp("self_attn.k_proj.bias")
+        d["bv"] = fp("self_attn.v_proj.bias")
+    return d
+
+
+class OffloadModelRuntime:
+    """Layer-streamed model; engine uses `streamed_forward` (phases can't fuse it)."""
+
+    supports_fused_phases = False
+    params = None  # fused-path params handle; unused for offload targets
+
+    def __init__(self, cfg: ModelConfig, top_params: dict, host_layers: List[dict],
+                 max_length: int, dtype=jnp.bfloat16, family: str = "llama",
+                 num_cache_layers: int = 0, model_name: str = ""):
+        assert family != "gemma2", "gemma2 has no offload variant (ref auto_model.py:111-114)"
+        self.cfg = cfg
+        self.max_length = max_length
+        self.dtype = dtype
+        self.family = family
+        self.model_name = model_name
+        self.num_cache_layers = num_cache_layers
+        self.args = StaticModelArgs.from_config(cfg, n_layers=len(host_layers))
+        self.n_layers = len(host_layers)
+
+        self.top = jax.tree.map(jnp.asarray, top_params)
+        self.host_layers = host_layers
+        # first num_cache_layers stay resident in HBM (ref llama.py:184-185)
+        self.resident: Dict[int, dict] = {
+            i: jax.tree.map(jnp.asarray, host_layers[i],
+                            is_leaf=lambda x: isinstance(x, np.ndarray))
+            for i in range(min(num_cache_layers, self.n_layers))
+        }
+        self._build_jits()
+
+    # ---------------------------------------------------------------- loading
+
+    @classmethod
+    def load(cls, path: str, cfg: ModelConfig, max_length: int, dtype=jnp.bfloat16,
+             family: str = "llama", n_layers: Optional[int] = None,
+             num_cache_layers: int = 0):
+        from ..models.weights import _load_state_dict_np
+
+        sd = _load_state_dict_np(path)
+        return cls.from_state_dict(sd, cfg, max_length, dtype, family=family,
+                                   n_layers=n_layers, num_cache_layers=num_cache_layers,
+                                   quantized=False, model_name=path)
+
+    @classmethod
+    def from_state_dict(cls, sd, cfg: ModelConfig, max_length: int, dtype=jnp.bfloat16,
+                        family: str = "llama", n_layers: Optional[int] = None,
+                        num_cache_layers: int = 0, quantized: bool = False,
+                        model_name: str = ""):
+        n = n_layers if n_layers is not None else cfg.num_hidden_layers
+        np_dtype = np.float32 if dtype == jnp.float32 else jnp.bfloat16
+        if quantized:
+            host_layers = [_awq_layer_from_sd(sd, i, dtype) for i in range(n)]
+        else:
+            host_layers = [_fp_layer_from_sd(sd, i, np_dtype) for i in range(n)]
+
+        def top_get(name):
+            a = sd[name]
+            return a.astype(np.float32) if a.dtype == np.float16 else a
+
+        cos, sin = precompute_rope_cache(cfg, max_length)
+        top = {
+            "embed": jnp.asarray(top_get("model.embed_tokens.weight")).astype(dtype),
+            "final_norm": jnp.asarray(top_get("model.norm.weight")).astype(dtype),
+            "rope_cos": cos, "rope_sin": sin,
+        }
+        if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
+            top["lm_head"] = jnp.asarray(top_get("lm_head.weight").T).astype(dtype)
+        return cls(cfg, top, host_layers, max_length, dtype=dtype, family=family,
+                   num_cache_layers=num_cache_layers, model_name=model_name)
+
+    @classmethod
+    def from_params(cls, params: dict, cfg: ModelConfig, max_length: int,
+                    dtype=jnp.bfloat16, family: str = "llama",
+                    num_cache_layers: int = 0):
+        """Build from a stacked (resident-style) param pytree — tests/benchmarks."""
+        top, per_layer = _split_stacked(params)
+        return cls(cfg, top, per_layer, max_length, dtype=dtype, family=family,
+                   num_cache_layers=num_cache_layers)
+
+    # ---------------------------------------------------------------- compute
+
+    def _build_jits(self):
+        args = self.args
+
+        def embed_fn(top, ids):
+            return top["embed"][ids].astype(top["final_norm"].dtype)
+
+        def layer_fn(lw, hidden, kv, layer_idx, position_ids, mask, offset, cos, sin):
+            return llama_layer(args, lw, hidden, kv, layer_idx, position_ids, mask,
+                               offset, cos, sin)
+
+        def head_fn(top, hidden):
+            hidden = rms_norm(hidden, top["final_norm"], args.rms_eps)
+            head = top.get("lm_head")
+            w = head if head is not None else top["embed"].T
+            return jnp.dot(hidden, w, preferred_element_type=jnp.float32).astype(jnp.float32)
+
+        self._embed_jit = jax.jit(embed_fn)
+        self._layer_jit = jax.jit(layer_fn, donate_argnums=(2,))
+        self._head_jit = jax.jit(head_fn)
+
+    def _fetch_layer(self, i: int):
+        if i in self.resident:
+            return self.resident[i]
+        # async H2D: transfer overlaps with the previous layer's compute
+        return jax.tree.map(jax.device_put, self.host_layers[i],
+                            is_leaf=lambda x: isinstance(x, np.ndarray))
+
+    def streamed_forward(self, kv, input_ids, position_ids, attn_mask, write_offset):
+        top = self.top
+        hidden = self._embed_jit(top, input_ids)
+        nxt = self._fetch_layer(0)
+        for i in range(self.n_layers):
+            cur = nxt
+            if i + 1 < self.n_layers:
+                nxt = self._fetch_layer(i + 1)  # start DMA before compute dispatch
+            hidden, kv = self._layer_jit(cur, hidden, kv, jnp.int32(i), position_ids,
+                                         attn_mask, write_offset, top["rope_cos"],
+                                         top["rope_sin"])
+        logits = self._head_jit(top, hidden)
+        return logits, kv
+
+    # engine-facing helpers (same contract as ModelRuntime)
+    @property
+    def forward(self):
+        raise RuntimeError("offload runtime has no fused forward; use streamed_forward")
+
+    def init_kv(self, kv_dtype=None):
+        return init_kv_cache(self.cfg, self.max_length,
+                             dtype=kv_dtype or self.dtype, num_layers=self.n_layers)
+
+    @property
+    def eos_ids(self):
+        return self.cfg.eos_token_ids

@@ -10,8 +10,8 @@ TPU-native replacement for `flashinfer.single_prefill_with_kv_cache(custom_mask=
 
 Shapes (batch size 1 engine, like the reference):
   q:        [S, H, D]
-  k_cache:  [L, KVH, D]   (linear slot-indexed cache)
-  v_cache:  [L, KVH, D]
+  k_cache:  [KVH, L, D]   (linear slot-indexed cache, head-major)
+  v_cache:  [KVH, L, D]
   mask:     [S, L] bool   (True = may attend)
 Returns [S, H, D].
 """
@@ -23,6 +23,37 @@ import jax.numpy as jnp
 import jax
 
 
+# "auto": flash kernel on TPU, dense einsum elsewhere; "dense"/"flash" force a path.
+ATTN_BACKEND = "auto"
+
+
+def _flash_available() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def attend(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    mask: jnp.ndarray,
+    kv_limit=None,  # scalar upper bound on live kv slots (enables DMA clamping)
+    scale: Optional[float] = None,
+    logits_soft_cap: float = 0.0,
+) -> jnp.ndarray:
+    """Backend-dispatching attention; semantics of attend_dense."""
+    use_flash = ATTN_BACKEND == "flash" or (ATTN_BACKEND == "auto" and _flash_available())
+    if use_flash and kv_limit is not None and k_cache.shape[1] % 256 == 0:
+        from .pallas.tree_attention import attend_flash
+
+        S, H, D = q.shape
+        groups = H // k_cache.shape[0]
+        block_k = 512 if S * groups <= 512 else 256
+        return attend_flash(q, k_cache, v_cache, mask, kv_limit, scale=scale,
+                            soft_cap=logits_soft_cap, block_k=block_k)
+    return attend_dense(q, k_cache, v_cache, mask, scale=scale,
+                        logits_soft_cap=logits_soft_cap)
+
+
 def attend_dense(
     q: jnp.ndarray,
     k_cache: jnp.ndarray,
@@ -32,18 +63,18 @@ def attend_dense(
     logits_soft_cap: float = 0.0,
 ) -> jnp.ndarray:
     S, H, D = q.shape
-    L, KVH, _ = k_cache.shape
+    KVH, L, _ = k_cache.shape
     groups = H // KVH
     if scale is None:
         scale = 1.0 / (D ** 0.5)
 
     qg = q.reshape(S, KVH, groups, D)
     # scores [KVH, groups, S, L]
-    scores = jnp.einsum("skgd,lkd->kgsl", qg, k_cache, preferred_element_type=jnp.float32)
+    scores = jnp.einsum("skgd,kld->kgsl", qg, k_cache, preferred_element_type=jnp.float32)
     scores = scores * scale
     if logits_soft_cap and logits_soft_cap > 0.0:
         scores = logits_soft_cap * jnp.tanh(scores / logits_soft_cap)
     scores = jnp.where(mask[None, None, :, :], scores, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
-    out = jnp.einsum("kgsl,lkd->skgd", probs, v_cache)
+    out = jnp.einsum("kgsl,kld->skgd", probs, v_cache)
     return out.reshape(S, H, D)

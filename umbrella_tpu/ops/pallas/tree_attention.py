@@ -1,0 +1,143 @@
+"""Flash attention over the linear KV cache with arbitrary (tree/causal) masks.
+
+TPU-native replacement for `flashinfer.single_prefill_with_kv_cache(custom_mask=...)`
+(reference `umbrella/attn/cache.py:77-85`). Design:
+
+- Online-softmax flash loop over KV blocks; scores never hit HBM.
+- GQA-native: grid dim 0 is the KV head; the q block carries that head's `group`
+  query rows, so K/V blocks stream through VMEM exactly once per kv head.
+- The live-window bound `kv_limit` (committed prefix + tree) is a scalar-prefetch
+  argument: KV block index maps CLAMP to the last needed block, and Mosaic's
+  pipeline skips re-fetch when the block index repeats — so decode reads only
+  O(num_nodes + tree_size) KV bytes, not O(max_length). The reference's eager mask
+  slicing (`cache.py:82`: custom_mask[:, :kv_offset]) achieved this dynamically;
+  here the shapes stay static and the DMA clamp does it.
+- The boolean mask rows are streamed per block ([S, bk] slices of the engine's
+  computed mask); fine-grained semantics (tree ancestry) live entirely in the mask.
+
+Accepts optional `logits_soft_cap` (Gemma2) applied pre-softmax.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _scalar(nb):
+    """Scalar-prefetch arg: a (1,)-shaped SMEM ref in compiled mode, 0-d in interpret."""
+    try:
+        return nb[0]
+    except (TypeError, IndexError):
+        return nb
+
+
+def _flash_kernel(nb_ref, q_ref, k_ref, v_ref, mask_ref, out_ref,
+                  m_ref, l_ref, acc_ref, *, scale: float, soft_cap: float,
+                  groups: int, bk: int):
+    j = pl.program_id(1)
+    num_needed = _scalar(nb_ref)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j < num_needed)
+    def _():
+        q = q_ref[0]  # [SG, D]
+        k = k_ref[0]  # [bk, D]
+        v = v_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = s * scale
+        if soft_cap > 0.0:
+            s = soft_cap * jnp.tanh(s / soft_cap)
+        mask = mask_ref[:]  # [S, bk] bool
+        S = mask.shape[0]
+        mask_sg = jnp.broadcast_to(mask[:, None, :], (S, groups, bk)).reshape(S * groups, bk)
+        s = jnp.where(mask_sg, s, NEG_INF)
+
+        m_prev = m_ref[:]  # [SG, 1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)  # [SG, bk]
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        out_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "soft_cap", "block_k", "interpret"))
+def attend_flash(
+    q: jnp.ndarray,  # [S, H, D]
+    k_cache: jnp.ndarray,  # [KVH, L, D] head-major
+    v_cache: jnp.ndarray,
+    mask: jnp.ndarray,  # [S, L] bool
+    kv_limit,  # scalar — exclusive upper bound on live kv slots
+    scale: float | None = None,
+    soft_cap: float = 0.0,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    S, H, D = q.shape
+    KVH, L, _ = k_cache.shape
+    groups = H // KVH
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(D))
+    bk = min(block_k, L)
+    assert L % bk == 0, (L, bk)
+    nK = L // bk
+
+    SG = S * groups
+    # q rows grouped by kv head: [KVH, S*groups, D]
+    qg = q.reshape(S, KVH, groups, D).transpose(1, 0, 2, 3).reshape(KVH, SG, D)
+
+    num_needed = jnp.asarray([jnp.minimum((kv_limit + bk - 1) // bk, nK)], jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(KVH, nK),
+        in_specs=[
+            pl.BlockSpec((1, SG, D), lambda h, j, nb: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D),
+                         lambda h, j, nb: (h, jnp.minimum(j, _scalar(nb) - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, D),
+                         lambda h, j, nb: (h, jnp.minimum(j, _scalar(nb) - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, bk), lambda h, j, nb: (0, jnp.minimum(j, _scalar(nb) - 1)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, SG, D), lambda h, j, nb: (h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((SG, 1), jnp.float32),
+            pltpu.VMEM((SG, 1), jnp.float32),
+            pltpu.VMEM((SG, D), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=float(scale), soft_cap=float(soft_cap),
+                          groups=groups, bk=bk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((KVH, SG, D), q.dtype),
+        interpret=interpret,
+    )(num_needed, qg, k_cache, v_cache, mask)
+
+    return out.reshape(KVH, S, groups, D).transpose(1, 0, 2, 3).reshape(S, H, D)

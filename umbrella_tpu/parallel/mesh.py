@@ -14,7 +14,7 @@ Layout (Megatron-style column/row pairs so each layer needs one psum):
   down     [n, I, H]     -> (None, 'model', None)
   lm_head  [H, V]        -> (None, 'model')         vocab-sharded logits
   embed/norms            -> replicated
-  KV cache [n, L, KVH, D]-> (None, None, 'model', None)  kv-head sharded
+  KV cache [n, KVH, L, D]-> (None, 'model', None, None)  kv-head sharded
 """
 from __future__ import annotations
 
@@ -61,7 +61,8 @@ def llama_param_specs(params: dict) -> dict:
 
 
 def kv_cache_spec() -> P:
-    return P(None, None, "model", None)
+    # [layers, kv_heads, max_len, head_dim] — shard on kv heads
+    return P(None, "model", None, None)
 
 
 def shard_params(params: dict, mesh: Mesh) -> dict:
