@@ -1,0 +1,64 @@
+"""Gradio streaming chat UI (reference `app/gradio_chat.py`).
+
+Requires `gradio` (not bundled in this image); the engine's `generate_stream`
+yields (partial_text, perf_log) pairs exactly like the reference.
+"""
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+try:
+    import gradio as gr
+except ImportError:  # pragma: no cover
+    gr = None
+
+from umbrella_tpu.speculation.auto_engine import AutoEngine
+from umbrella_tpu.templates import Prompts, SysPrompts
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--configuration", type=str,
+                    default="configs/chat_config_8b_v5e.json")
+args = parser.parse_args()
+
+with open(args.configuration) as f:
+    config = json.load(f)
+
+template = config.pop("template", "meta-llama3")
+config.pop("generation_length", None)
+config.pop("max_turns", None)
+
+
+def build_app(engine):
+    def chat(message, history, temperature, topp, repetition_penalty, max_new_tokens):
+        context = SysPrompts[template] + Prompts[template].format(message)
+        stream = engine.generate_stream(
+            context=context, max_new_tokens=int(max_new_tokens),
+            temperature=float(temperature), topp=float(topp),
+            repetition_penalty=float(repetition_penalty))
+        for partial_text, perf_log in stream:
+            yield partial_text + f"\n\n`{perf_log}`"
+
+    return gr.ChatInterface(
+        chat,
+        additional_inputs=[
+            gr.Slider(0.0, 1.5, value=0.6, label="temperature"),
+            gr.Slider(0.1, 1.0, value=0.9, label="top-p"),
+            gr.Slider(1.0, 1.5, value=1.05, label="repetition penalty"),
+            gr.Slider(16, 1024, value=256, step=16, label="max new tokens"),
+        ],
+        title="umbrella_tpu chat",
+    )
+
+
+def main():
+    if gr is None:
+        raise SystemExit("gradio is not installed; pip install gradio to use this app")
+    engine = AutoEngine.from_config(device=None, **config)
+    engine.initialize()
+    build_app(engine).launch()
+
+
+if __name__ == "__main__":
+    main()

@@ -35,16 +35,16 @@ def test_gemma_rms_norm_uses_one_plus_weight():
 
 
 def test_rope_matches_torch_reference():
-    import torch
-
     cfg = ModelConfig(hidden_size=64, num_attention_heads=4, rope_theta=10000.0)
-    cos, sin = precompute_rope_cache(cfg, 64)
+    from umbrella_tpu.ops.rope import rope_params
+
+    rp = rope_params(cfg)
     S, H, D = 6, 4, 16
     q = np.random.randn(S, H, D).astype(np.float32)
     k = np.random.randn(S, 2, D).astype(np.float32)
     pos = np.array([0, 1, 2, 5, 7, 9])
 
-    # torch reference (HF apply_rotary_pos_emb with unsqueeze_dim=1 on [S,H,D])
+    # numpy reference (HF apply_rotary_pos_emb with unsqueeze_dim=1 on [S,H,D])
     inv = 1.0 / (10000.0 ** (np.arange(0, D, 2) / D))
     freqs = np.outer(pos, inv)
     emb = np.concatenate([freqs, freqs], -1)
@@ -54,7 +54,8 @@ def test_rope_matches_torch_reference():
         return np.concatenate([-x[..., D // 2:], x[..., : D // 2]], -1)
 
     ref_q = q * rc + rot(q) * rs
-    qj, kj = apply_rope(jnp.asarray(q), jnp.asarray(k), cos, sin, jnp.asarray(pos))
+    qj, kj = apply_rope(jnp.asarray(q), jnp.asarray(k), rp["rope_inv_freq"],
+                        rp["rope_scale"], jnp.asarray(pos))
     np.testing.assert_allclose(np.asarray(qj), ref_q, rtol=1e-4, atol=1e-4)
 
 
@@ -97,7 +98,7 @@ def test_tree_mask_rows_matches_reference_window_semantics():
     np.testing.assert_array_equal(m[:, 7:12], bitmap)
     assert not m[:, 12:].any()
 
-    lvl = np.asarray(tree_level_mask_rows(num_nodes, jnp.asarray(bitmap), jnp.asarray([3, 4]), 16))
+    lvl = np.asarray(tree_level_mask_rows(num_nodes, jnp.asarray(bitmap), 3, 2, 16))
     np.testing.assert_array_equal(lvl, m[[3, 4]])
 
 

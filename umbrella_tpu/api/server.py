@@ -1,0 +1,103 @@
+"""Socket API server (reference `umbrella/api/server.py`).
+
+Thread per connection feeding a queue; a single worker thread serializes requests
+into `engine.generate(**message)` — the TPU never sees concurrency, matching the
+reference's one-request-at-a-time contract (`server.py:43-55`). `{"terminate": true}`
+closes a connection.
+"""
+from __future__ import annotations
+
+import socket
+import threading
+from queue import Queue
+
+from ..speculation.auto_engine import AutoEngine
+from ..utils import TextColors, setup_logger
+from .api_utils import receive_data, send_data
+
+logger = setup_logger()
+
+
+class APIServer:
+    def __init__(self, config: dict, device=None, port: int = 65432,
+                 max_client: int = 4, host: str = "127.0.0.1", engine=None):
+        self.port = port
+        self.max_client = max_client
+        self.host = host
+        self.device = device
+        self.config = config
+        self.engine = engine  # injectable for tests
+
+    def handle_client(self, conn, addr):
+        logger.info(TextColors.colorize(f"Connection from {addr}", "cyan"))
+        try:
+            send_data(conn, {"status": "connected", "message": "Welcome to the server!"})
+            while True:
+                try:
+                    received = receive_data(conn)
+                    logger.info(TextColors.colorize(
+                        f"Received dictionary from {addr}", "cyan"))
+                    if received.get("terminate", False):
+                        break
+                    self.message_queue.put((addr, conn, received))
+                except Exception as e:
+                    logger.error(TextColors.colorize(
+                        f"Error handling data from {addr}: {e}", "red"))
+                    break
+        finally:
+            conn.close()
+            logger.info(TextColors.colorize(f"Connection with {addr} closed", "cyan"))
+
+    def process_queue(self):
+        while True:
+            addr, conn, message = self.message_queue.get()
+            if message is None:  # shutdown sentinel
+                return
+            with self.queue_lock:
+                output = self.engine.generate(**message)
+                processed = {**output, "processed": True,
+                             "response": "Processed successfully"}
+                try:
+                    send_data(conn, processed)
+                except Exception as e:
+                    logger.error(TextColors.colorize(
+                        f"Error sending data to {addr}: {e}", "red"))
+
+    def start(self):
+        """Initialize engine + listener and spawn worker threads (non-blocking)."""
+        if self.engine is None:
+            self.engine = AutoEngine.from_config(self.device, **self.config)
+            self.engine.initialize()
+        self.server_socket = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.server_socket.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.server_socket.bind((self.host, self.port))
+        if self.port == 0:
+            self.port = self.server_socket.getsockname()[1]
+        self.server_socket.listen(self.max_client)
+        logger.info(TextColors.colorize("umbrella_tpu LLM server started", "cyan"))
+        self.message_queue = Queue()
+        self.queue_lock = threading.Lock()
+        threading.Thread(target=self.process_queue, daemon=True).start()
+        self._accept_thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self._accept_thread.start()
+
+    def _accept_loop(self):
+        while True:
+            try:
+                conn, addr = self.server_socket.accept()
+            except OSError:
+                return  # socket closed
+            threading.Thread(target=self.handle_client, args=(conn, addr),
+                             daemon=True).start()
+
+    def run(self):
+        """Blocking entry point (reference `server.py:57-74`)."""
+        self.start()
+        self._accept_thread.join()
+
+    def shutdown(self):
+        try:
+            self.message_queue.put((None, None, None))
+            self.server_socket.close()
+        except Exception:
+            pass

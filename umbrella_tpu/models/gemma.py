@@ -18,7 +18,8 @@ from jax import lax
 from ..config import ModelConfig
 from ..ops.attention import attend
 from ..ops.norms import gemma_rms_norm
-from ..ops.rope import apply_rope, precompute_rope_cache
+from ..ops.rope import apply_rope, rope_params
+from ..ops.select import embed_lookup
 from .kv_cache import KVCache, update_layer
 from .llama import _linear
 
@@ -54,7 +55,7 @@ class GemmaStaticArgs(NamedTuple):
 
 def gemma2_layer(args: GemmaStaticArgs, lw: dict, hidden, kv: KVCache, layer_idx,
                  is_sliding, position_ids, attn_mask, sliding_mask, write_offset,
-                 cos, sin) -> Tuple[jnp.ndarray, KVCache]:
+                 inv_freq, rope_scale) -> Tuple[jnp.ndarray, KVCache]:
     S = hidden.shape[0]
     D = args.head_dim
     mask = jnp.where(is_sliding, sliding_mask, attn_mask)
@@ -64,7 +65,7 @@ def gemma2_layer(args: GemmaStaticArgs, lw: dict, hidden, kv: KVCache, layer_idx
     q = _linear(x, lw["wq"]).reshape(S, args.num_heads, D)
     k = _linear(x, lw["wk"]).reshape(S, args.num_kv_heads, D)
     v = _linear(x, lw["wv"]).reshape(S, args.num_kv_heads, D)
-    q, k = apply_rope(q, k, cos, sin, position_ids)
+    q, k = apply_rope(q, k, inv_freq, rope_scale, position_ids)
     kv = update_layer(kv, layer_idx, k, v, write_offset)
     k_cache = lax.dynamic_index_in_dim(kv.k, layer_idx, axis=0, keepdims=False)
     v_cache = lax.dynamic_index_in_dim(kv.v, layer_idx, axis=0, keepdims=False)
@@ -85,8 +86,8 @@ def gemma2_layer(args: GemmaStaticArgs, lw: dict, hidden, kv: KVCache, layer_idx
 def gemma2_forward(params: dict, args: GemmaStaticArgs, kv: KVCache,
                    input_ids, position_ids, attn_mask, write_offset):
     layers = params["layers"]
-    cos, sin = params["rope_cos"], params["rope_sin"]
-    hidden = params["embed"][input_ids].astype(params["final_norm"].dtype)
+    inv_freq, rope_scale = params["rope_inv_freq"], params["rope_scale"]
+    hidden = embed_lookup(params["embed"], input_ids, params["final_norm"].dtype)
     hidden = hidden * jnp.asarray(args.hidden_size ** 0.5, hidden.dtype)
 
     # even layers use sliding-window attention (gemma_layer.py:59-60); constraint is
@@ -101,7 +102,7 @@ def gemma2_forward(params: dict, args: GemmaStaticArgs, kv: KVCache,
         layer_idx, is_sliding, lw = xs
         hidden, kv = gemma2_layer(args, lw, hidden, kv, layer_idx, is_sliding,
                                   position_ids, attn_mask, sliding_mask,
-                                  write_offset, cos, sin)
+                                  write_offset, inv_freq, rope_scale)
         return (hidden, kv), None
 
     layer_ids = jnp.arange(args.n_layers)
@@ -150,13 +151,11 @@ def gemma_params_from_hf_state_dict(sd, cfg: ModelConfig, max_length: int,
         "up": stack_linear(P + "layers.{}.mlp.up_proj.weight"),
         "down": stack_linear(P + "layers.{}.mlp.down_proj.weight"),
     }
-    cos, sin = precompute_rope_cache(cfg, max_length)
     params = {
         "embed": _to_jnp(get(P + "embed_tokens.weight"), dtype),
         "final_norm": _to_jnp(get(P + "norm.weight"), dtype),
         "layers": layers,
-        "rope_cos": cos,
-        "rope_sin": sin,
+        **rope_params(cfg),
     }
     if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
         params["lm_head"] = _to_jnp(get("lm_head.weight").T, dtype)

@@ -51,20 +51,29 @@ def update_layer(
 
 def gather_compact(
     kv: KVCache,
-    indices: jnp.ndarray,  # [tree_size] absolute slot ids, padded past accept_len
-    offset,  # scalar: compaction destination (committed length before this verify)
-    accept_len,  # scalar: number of valid entries in `indices`
+    local_indices: jnp.ndarray,  # [tree_size] tree-LOCAL slot ids (0..tree_size)
+    offset,  # scalar: compaction destination == tree window start (committed length)
+    accept_len,  # scalar: number of valid entries in `local_indices`
 ) -> KVCache:
-    """Copy accepted tree slots down to the linear prefix; zero the rest of the window."""
-    tree_size = indices.shape[0]
+    """Copy accepted tree slots down to the linear prefix; zero the rest of the window.
+
+    Gather-free: slice the tree window, select rows with a one-hot matmul (exact —
+    each output row has at most one source), write the window back. See
+    ops/select.py for why runtime gathers are banned.
+    """
+    from ..ops.select import onehot
+
+    n_layers, kvh, _, head_dim = kv.k.shape
+    tree_size = local_indices.shape[0]
     pos = jnp.arange(tree_size)
-    valid = (pos < accept_len)[None, None, :, None]
+    valid = (pos < accept_len)[:, None]
+    sel = onehot(local_indices, tree_size, jnp.float32) * valid  # [T_out, T_src]
 
-    gathered_k = jnp.where(valid, kv.k[:, :, indices], 0).astype(kv.k.dtype)
-    gathered_v = jnp.where(valid, kv.v[:, :, indices], 0).astype(kv.v.dtype)
+    def compact(buf):
+        window = lax.dynamic_slice(
+            buf, (0, 0, offset, 0), (n_layers, kvh, tree_size, head_dim))
+        new = jnp.einsum("ts,lksd->lktd", sel, window.astype(jnp.float32),
+                         preferred_element_type=jnp.float32).astype(buf.dtype)
+        return lax.dynamic_update_slice(buf, new, (0, 0, offset, 0))
 
-    idx = (0, 0, offset, 0)
-    return KVCache(
-        k=lax.dynamic_update_slice(kv.k, gathered_k, idx),
-        v=lax.dynamic_update_slice(kv.v, gathered_v, idx),
-    )
+    return KVCache(k=compact(kv.k), v=compact(kv.v))

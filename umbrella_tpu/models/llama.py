@@ -30,7 +30,8 @@ from jax import lax
 from ..config import ModelConfig
 from ..ops.attention import attend
 from ..ops.norms import rms_norm
-from ..ops.rope import apply_rope, precompute_rope_cache
+from ..ops.rope import apply_rope, rope_params
+from ..ops.select import embed_lookup
 from .kv_cache import KVCache, update_layer
 
 
@@ -76,15 +77,15 @@ def llama_attention(
     position_ids: jnp.ndarray,
     attn_mask: jnp.ndarray,
     write_offset,
-    cos: jnp.ndarray,
-    sin: jnp.ndarray,
+    inv_freq: jnp.ndarray,
+    rope_scale,
 ) -> Tuple[jnp.ndarray, KVCache]:
     S = hidden.shape[0]
     D = args.head_dim
     q = _linear(hidden, lw["wq"], lw.get("bq")).reshape(S, args.num_heads, D)
     k = _linear(hidden, lw["wk"], lw.get("bk")).reshape(S, args.num_kv_heads, D)
     v = _linear(hidden, lw["wv"], lw.get("bv")).reshape(S, args.num_kv_heads, D)
-    q, k = apply_rope(q, k, cos, sin, position_ids)
+    q, k = apply_rope(q, k, inv_freq, rope_scale, position_ids)
 
     kv = update_layer(kv, layer_idx, k, v, write_offset)
     k_cache = lax.dynamic_index_in_dim(kv.k, layer_idx, axis=0, keepdims=False)
@@ -102,13 +103,14 @@ def llama_layer(
     position_ids,
     attn_mask,
     write_offset,
-    cos,
-    sin,
+    inv_freq,
+    rope_scale,
 ) -> Tuple[jnp.ndarray, KVCache]:
     residual = hidden
     hidden = rms_norm(hidden, lw["input_norm"], args.rms_eps)
     attn_out, kv = llama_attention(
-        args, lw, hidden, kv, layer_idx, position_ids, attn_mask, write_offset, cos, sin
+        args, lw, hidden, kv, layer_idx, position_ids, attn_mask, write_offset,
+        inv_freq, rope_scale
     )
     hidden = residual + attn_out
     residual = hidden
@@ -130,14 +132,15 @@ def llama_forward(
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Full forward; returns (fp32 logits [S, V], updated kv)."""
     layers = params["layers"]
-    cos, sin = params["rope_cos"], params["rope_sin"]
-    hidden = params["embed"][input_ids].astype(params["final_norm"].dtype)
+    inv_freq, rope_scale = params["rope_inv_freq"], params["rope_scale"]
+    hidden = embed_lookup(params["embed"], input_ids, params["final_norm"].dtype)
 
     def body(carry, xs):
         hidden, kv = carry
         layer_idx, lw = xs
         hidden, kv = llama_layer(
-            args, lw, hidden, kv, layer_idx, position_ids, attn_mask, write_offset, cos, sin
+            args, lw, hidden, kv, layer_idx, position_ids, attn_mask, write_offset,
+            inv_freq, rope_scale
         )
         return (hidden, kv), None
 
@@ -184,13 +187,11 @@ def init_llama_params(
         layers["bk"] = jnp.zeros((n, KV), dtype)
         layers["bv"] = jnp.zeros((n, KV), dtype)
 
-    cos, sin = precompute_rope_cache(cfg, max_length)
     params = {
         "embed": w(next(keys), (V, H)),
         "final_norm": jnp.ones((H,), dtype),
         "layers": layers,
-        "rope_cos": cos,
-        "rope_sin": sin,
+        **rope_params(cfg),
     }
     if not cfg.tie_word_embeddings:
         params["lm_head"] = w(next(keys), (H, V))

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig
-from ..ops.rope import precompute_rope_cache
+from ..ops.rope import rope_params
 
 
 def _load_state_dict_np(path: str) -> Dict[str, np.ndarray]:
@@ -103,13 +103,11 @@ def params_from_hf_state_dict(
         layers["bk"] = stack_vec(P + "layers.{}.self_attn.k_proj.bias")
         layers["bv"] = stack_vec(P + "layers.{}.self_attn.v_proj.bias")
 
-    cos, sin = precompute_rope_cache(cfg, max_length)
     params = {
         "embed": _to_jnp(get(P + "embed_tokens.weight"), dtype),
         "final_norm": _to_jnp(get(P + "norm.weight"), dtype),
         "layers": layers,
-        "rope_cos": cos,
-        "rope_sin": sin,
+        **rope_params(cfg),
     }
     if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
         params["lm_head"] = _to_jnp(get("lm_head.weight").T, dtype)

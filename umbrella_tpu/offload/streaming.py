@@ -25,7 +25,7 @@ from ..config import ModelConfig
 from ..models.kv_cache import init_kv_cache
 from ..models.llama import StaticModelArgs, llama_layer
 from ..ops.norms import rms_norm
-from ..ops.rope import precompute_rope_cache
+from ..ops.rope import rope_params
 from ..quantization.awq import awq_from_hf_tensors
 
 
@@ -151,11 +151,10 @@ class OffloadModelRuntime:
             a = sd[name]
             return a.astype(np.float32) if a.dtype == np.float16 else a
 
-        cos, sin = precompute_rope_cache(cfg, max_length)
         top = {
             "embed": jnp.asarray(top_get("model.embed_tokens.weight")).astype(dtype),
             "final_norm": jnp.asarray(top_get("model.norm.weight")).astype(dtype),
-            "rope_cos": cos, "rope_sin": sin,
+            **rope_params(cfg),
         }
         if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
             top["lm_head"] = jnp.asarray(top_get("lm_head.weight").T).astype(dtype)
@@ -177,11 +176,14 @@ class OffloadModelRuntime:
         args = self.args
 
         def embed_fn(top, ids):
-            return top["embed"][ids].astype(top["final_norm"].dtype)
+            from ..ops.select import embed_lookup
 
-        def layer_fn(lw, hidden, kv, layer_idx, position_ids, mask, offset, cos, sin):
+            return embed_lookup(top["embed"], ids, top["final_norm"].dtype)
+
+        def layer_fn(lw, hidden, kv, layer_idx, position_ids, mask, offset,
+                     inv_freq, rope_scale):
             return llama_layer(args, lw, hidden, kv, layer_idx, position_ids, mask,
-                               offset, cos, sin)
+                               offset, inv_freq, rope_scale)
 
         def head_fn(top, hidden):
             hidden = rms_norm(hidden, top["final_norm"], args.rms_eps)
@@ -209,8 +211,8 @@ class OffloadModelRuntime:
             if i + 1 < self.n_layers:
                 nxt = self._fetch_layer(i + 1)  # start DMA before compute dispatch
             hidden, kv = self._layer_jit(cur, hidden, kv, jnp.int32(i), position_ids,
-                                         attn_mask, write_offset, top["rope_cos"],
-                                         top["rope_sin"])
+                                         attn_mask, write_offset,
+                                         top["rope_inv_freq"], top["rope_scale"])
         logits = self._head_jit(top, hidden)
         return logits, kv
 

@@ -7,6 +7,11 @@ materialize O(L^2) state: each jitted step computes only its own `[S, max_len]` 
 rows from scalars (committed length, query positions) plus the tiny per-tree ancestor
 bitmap. Semantics are identical.
 
+Implementation note: the tree window is placed with `lax.dynamic_update_slice` (a
+shift), NOT a 2-D-index gather — multi-dimensional-index gathers permanently degrade
+the axon TPU runtime's dispatch path (~25ms/call for the rest of the session) and are
+banned from every hot path.
+
 KV slot layout (one linear cache per model):
   slots [0, num_nodes)                    committed prefix (always visible)
   slots [num_nodes, num_nodes+tree_size)  current speculation tree (ancestor-visible)
@@ -40,33 +45,28 @@ def tree_mask_rows(
     Node i sees: all committed slots (< num_nodes), plus tree slots j where
     tree_bitmap[i, j - num_nodes] (its ancestors and itself). Equivalent to the
     reference writing `growmap["mask"]` into the tail of its giant mask buffer
-    (static engine :79) — but built per step from the 13–64 node bitmap.
+    (static engine :79) — but built per step by SHIFTING the 13–64 node bitmap to
+    column offset num_nodes.
     """
     tree_size = tree_bitmap.shape[0]
     cols = lax.broadcasted_iota(jnp.int32, (tree_size, kv_len), 1)
     committed = cols < num_nodes
-    # Scatter the bitmap into the [num_nodes, num_nodes+tree_size) window.
-    rel = cols - num_nodes  # [tree_size, kv_len]
-    in_tree = (rel >= 0) & (rel < tree_size)
-    rel_clamped = jnp.clip(rel, 0, tree_size - 1)
-    rows = lax.broadcasted_iota(jnp.int32, (tree_size, kv_len), 0)
-    bitmap_vals = tree_bitmap[rows, rel_clamped]
-    return committed | (in_tree & bitmap_vals)
+    tree_part = lax.dynamic_update_slice(
+        jnp.zeros((tree_size, kv_len), jnp.bool_), tree_bitmap, (0, num_nodes))
+    return committed | tree_part
 
 
 def tree_level_mask_rows(
     num_nodes,  # scalar committed prefix length
     tree_bitmap: jnp.ndarray,  # bool [tree_size, tree_size]
-    node_ids: jnp.ndarray,  # int [q_len] — tree node indices of this level's queries
+    row_start: int,  # static: first tree-node id of this level (levels are contiguous)
+    n_rows: int,  # static: number of query rows (level size)
     kv_len: int,
 ) -> jnp.ndarray:
-    """Bool [q_len, kv_len] for one draft tree level: rows are tree nodes `node_ids`."""
-    q_len = node_ids.shape[0]
-    tree_size = tree_bitmap.shape[0]
-    cols = lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 1)
+    """Bool [n_rows, kv_len] for one draft tree level (nodes row_start..row_start+n)."""
+    rows = lax.slice_in_dim(tree_bitmap, row_start, row_start + n_rows, axis=0)
+    cols = lax.broadcasted_iota(jnp.int32, (n_rows, kv_len), 1)
     committed = cols < num_nodes
-    rel = cols - num_nodes
-    in_tree = (rel >= 0) & (rel < tree_size)
-    rel_clamped = jnp.clip(rel, 0, tree_size - 1)
-    bitmap_vals = tree_bitmap[node_ids[:, None], rel_clamped]
-    return committed | (in_tree & bitmap_vals)
+    tree_part = lax.dynamic_update_slice(
+        jnp.zeros((n_rows, kv_len), jnp.bool_), rows, (0, num_nodes))
+    return committed | tree_part

@@ -1,8 +1,11 @@
 """Rotary position embeddings, including Llama-3 frequency scaling.
 
-The reference reads `inv_freq` / `attention_scaling` off the HF model object
-(`umbrella/models/llama.py:48-60`); we re-derive them from the config so weights can be
-loaded straight from safetensors without instantiating a torch module.
+The reference reads `inv_freq` / `attention_scaling` off the HF model object and
+caches cos/sin tables gathered per position (`umbrella/models/llama.py:48-60`). Here
+the angles are computed ON THE FLY from (positions, inv_freq) — a tiny outer product
+plus cos/sin on the VPU. Besides matching HF numerics (HF also computes the angles in
+fp32), this keeps position lookup gather-free (see ops/select.py for why gathers are
+banned from hot paths on this runtime).
 """
 from __future__ import annotations
 
@@ -50,17 +53,21 @@ def compute_inv_freq(cfg: ModelConfig) -> Tuple[np.ndarray, float]:
     return inv_freq.astype(np.float64), attention_scaling
 
 
-def precompute_rope_cache(
-    cfg: ModelConfig, max_length: int, dtype=jnp.float32
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """cos/sin caches of shape [max_length, head_dim] (freqs duplicated, HF layout)."""
+def rope_params(cfg: ModelConfig) -> dict:
+    """Param-pytree entries for rope: {'rope_inv_freq': [D/2] f32, 'rope_scale': f32}."""
     inv_freq, attention_scaling = compute_inv_freq(cfg)
-    t = np.arange(max_length, dtype=np.float64)
-    freqs = np.outer(t, inv_freq)  # [L, D/2]
-    emb = np.concatenate([freqs, freqs], axis=-1)  # [L, D]
-    cos = np.cos(emb) * attention_scaling
-    sin = np.sin(emb) * attention_scaling
-    return jnp.asarray(cos, dtype=dtype), jnp.asarray(sin, dtype=dtype)
+    return {
+        "rope_inv_freq": jnp.asarray(inv_freq, jnp.float32),
+        "rope_scale": jnp.float32(attention_scaling),
+    }
+
+
+def rope_angles(position_ids: jnp.ndarray, inv_freq: jnp.ndarray,
+                attention_scaling) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin [S, D] for the given positions (fp32, HF-duplicated layout)."""
+    freqs = position_ids.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [S, D/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb) * attention_scaling, jnp.sin(emb) * attention_scaling
 
 
 def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
@@ -72,12 +79,26 @@ def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
 def apply_rope(
     q: jnp.ndarray,  # [S, H, D]
     k: jnp.ndarray,  # [S, KVH, D]
-    cos_cache: jnp.ndarray,  # [L, D]
-    sin_cache: jnp.ndarray,  # [L, D]
+    inv_freq: jnp.ndarray,  # [D/2] f32
+    attention_scaling,  # scalar
     position_ids: jnp.ndarray,  # [S]
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    cos = cos_cache[position_ids][:, None, :].astype(q.dtype)  # [S, 1, D]
-    sin = sin_cache[position_ids][:, None, :].astype(q.dtype)
+    cos, sin = rope_angles(position_ids, inv_freq, attention_scaling)
+    cos = cos[:, None, :].astype(q.dtype)  # [S, 1, D]
+    sin = sin[:, None, :].astype(q.dtype)
     q_out = q * cos + _rotate_half(q) * sin
     k_out = k * cos + _rotate_half(k) * sin
     return q_out, k_out
+
+
+def precompute_rope_cache(
+    cfg: ModelConfig, max_length: int, dtype=jnp.float32
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin caches [max_length, head_dim] (kept for tests/tools; hot paths use
+    on-the-fly rope_angles)."""
+    inv_freq, attention_scaling = compute_inv_freq(cfg)
+    t = np.arange(max_length, dtype=np.float64)
+    freqs = np.outer(t, inv_freq)
+    emb = np.concatenate([freqs, freqs], axis=-1)
+    return (jnp.asarray(np.cos(emb) * attention_scaling, dtype=dtype),
+            jnp.asarray(np.sin(emb) * attention_scaling, dtype=dtype))

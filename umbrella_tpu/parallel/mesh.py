@@ -51,8 +51,8 @@ def llama_param_specs(params: dict) -> dict:
     specs = {
         "embed": P(),
         "final_norm": P(),
-        "rope_cos": P(),
-        "rope_sin": P(),
+        "rope_inv_freq": P(),
+        "rope_scale": P(),
         "layers": {k: layer_specs[k] for k in params["layers"]},
     }
     if "lm_head" in params:

@@ -78,18 +78,19 @@ class DynamicEngine(SpecEngineBase):
             lvl_start = 0
             for step in range(D + 1):
                 dec_len = 1 if step == 0 else W
-                node_ids = lvl_start + jnp.arange(dec_len, dtype=jnp.int32)
                 ids = jax.lax.dynamic_slice(tokens, (num_nodes + lvl_start,), (dec_len,))
                 pos = num_nodes + jnp.full((dec_len,), step, jnp.int32)
-                mask = tree_level_mask_rows(num_nodes, bitmap, node_ids, L)
+                mask = tree_level_mask_rows(num_nodes, bitmap, lvl_start, dec_len, L)
                 logits, kv_d = d_fwd(pd, kv_d, ids, pos, mask, num_nodes + lvl_start)
                 if step < D:
+                    from ..ops.select import onehot, take_vec
+
                     top_vals, top_idx = jax.lax.top_k(logits, B)  # [dec_len, B]
                     step_scores = jnp.log(jax.nn.softmax(top_vals, axis=-1) + 1e-4)
                     hist = jax.lax.dynamic_slice(tree_score, (lvl_start,), (dec_len,))
                     cand = (hist[:, None] + step_scores).reshape(-1)
                     sel_score, sel = jax.lax.top_k(cand, W)
-                    new_tokens = top_idx.reshape(-1)[sel].astype(jnp.int32)
+                    new_tokens = take_vec(top_idx.reshape(-1), sel).astype(jnp.int32)
                     parent_global = (lvl_start + sel // B).astype(jnp.int32)
 
                     new_start = lvl_start + dec_len
@@ -101,7 +102,11 @@ class DynamicEngine(SpecEngineBase):
                         parents, parent_global, (new_start,))
                     self_rows = jax.nn.one_hot(
                         new_start + jnp.arange(W), tree_size, dtype=jnp.bool_)
-                    new_rows = bitmap[parent_global] | self_rows
+                    parent_rows = jnp.dot(
+                        onehot(parent_global, tree_size, jnp.float32),
+                        bitmap.astype(jnp.float32),
+                        preferred_element_type=jnp.float32) > 0.5
+                    new_rows = parent_rows | self_rows
                     bitmap = jax.lax.dynamic_update_slice(bitmap, new_rows, (new_start, 0))
                     lvl_start = new_start
             return tokens, kv_d, bitmap, parents

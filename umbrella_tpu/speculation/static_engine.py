@@ -90,11 +90,13 @@ class StaticEngine(SpecEngineBase):
             for m in level_meta:
                 ids = jax.lax.dynamic_slice(tokens, (num_nodes + m["start"],), (m["n"],))
                 pos = num_nodes + m["depth"]
-                mask = tree_level_mask_rows(num_nodes, bitmap, m["nodes"], L)
+                mask = tree_level_mask_rows(num_nodes, bitmap, m["start"], m["n"], L)
                 logits, kv_d = d_fwd(pd, kv_d, ids, pos, mask, num_nodes + m["start"])
                 if m["topk"] > 0:
+                    from ..ops.select import take_vec
+
                     cand = jax.lax.top_k(logits, m["topk"])[1].reshape(-1)
-                    new_tokens = cand[m["gather"]].astype(jnp.int32)
+                    new_tokens = take_vec(cand, m["gather"]).astype(jnp.int32)
                     tokens = jax.lax.dynamic_update_slice(
                         tokens, new_tokens, (num_nodes + m["start"] + m["n"],))
             return tokens, kv_d

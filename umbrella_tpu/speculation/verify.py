@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from ..models.kv_cache import gather_compact
 from ..ops import sampling as S
+from ..ops.select import take_scalar, take_vec
 
 
 def verify_tail(
@@ -38,7 +39,7 @@ def verify_tail(
 
     # Accept node v iff its token matches the target sample at its parent, for v and
     # every ancestor (mask-weighted ancestor count == path length, ref :313-321).
-    accept = (sampled[parents] == ids).at[0].set(True)
+    accept = (take_vec(sampled, parents) == ids).at[0].set(True)
     anc_count = jnp.sum(
         bitmap.astype(jnp.int32) * accept[None, :].astype(jnp.int32), axis=-1)
     path_ok = anc_count == node_in_path
@@ -47,9 +48,9 @@ def verify_tail(
     path = jnp.sort(jnp.where(path_ok, iota, tree_size))
     path = jnp.clip(path, 0, tree_size - 1)
     last = jnp.max(jnp.where(path_ok, iota, -1))
-    bonus = sampled[last]
+    bonus = take_scalar(sampled, last)
 
-    acc_tokens = ids[path]
+    acc_tokens = take_vec(ids, path)
     old_block = jax.lax.dynamic_slice(tokens, (num_nodes,), (tree_size + 1,))
     bidx = jnp.arange(tree_size + 1, dtype=jnp.int32)
     acc_pad = jnp.concatenate([acc_tokens, acc_tokens[-1:]])
@@ -61,7 +62,6 @@ def verify_tail(
     eos_found = eos_pos >= 0
     accept_len = jnp.where(eos_found, eos_pos, accept_len0).astype(jnp.int32)
 
-    gather_idx = num_nodes + path
-    kv_t = gather_compact(kv_t, gather_idx, num_nodes, accept_len)
-    kv_d = gather_compact(kv_d, gather_idx, num_nodes, accept_len)
+    kv_t = gather_compact(kv_t, path, num_nodes, accept_len)
+    kv_d = gather_compact(kv_d, path, num_nodes, accept_len)
     return tokens, kv_t, kv_d, num_nodes + accept_len, accept_len, eos_found, block

@@ -19,7 +19,7 @@ from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope
 
 
-def _batched_layer(args: StaticModelArgs, lw: dict, hidden, cos, sin, positions, mask):
+def _batched_layer(args: StaticModelArgs, lw: dict, hidden, inv_freq, rope_scale, positions, mask):
     """One layer over [B, S, H] without KV cache (training path)."""
     B, S, H = hidden.shape
     D = args.head_dim
@@ -28,7 +28,7 @@ def _batched_layer(args: StaticModelArgs, lw: dict, hidden, cos, sin, positions,
     q = _linear(x, lw["wq"], lw.get("bq")).reshape(B, S, args.num_heads, D)
     k = _linear(x, lw["wk"], lw.get("bk")).reshape(B, S, args.num_kv_heads, D)
     v = _linear(x, lw["wv"], lw.get("bv")).reshape(B, S, args.num_kv_heads, D)
-    q, k = jax.vmap(lambda qq, kk: apply_rope(qq, kk, cos, sin, positions))(q, k)
+    q, k = jax.vmap(lambda qq, kk: apply_rope(qq, kk, inv_freq, rope_scale, positions))(q, k)
 
     groups = args.num_heads // args.num_kv_heads
     qg = q.reshape(B, S, args.num_kv_heads, groups, D)
@@ -48,13 +48,16 @@ def _batched_layer(args: StaticModelArgs, lw: dict, hidden, cos, sin, positions,
 def train_forward(params: dict, args: StaticModelArgs, input_ids: jnp.ndarray) -> jnp.ndarray:
     """Causal forward over [B, S] -> fp32 logits [B, S, V] (no cache)."""
     B, S = input_ids.shape
-    cos, sin = params["rope_cos"], params["rope_sin"]
+    inv_freq, rope_scale = params["rope_inv_freq"], params["rope_scale"]
     positions = jnp.arange(S)
     mask = jnp.tril(jnp.ones((S, S), bool))
-    hidden = params["embed"][input_ids].astype(params["layers"]["wq"].dtype)
+    from ..ops.select import embed_lookup
+
+    hidden = jax.vmap(lambda ids: embed_lookup(params["embed"], ids,
+                                               params["final_norm"].dtype))(input_ids)
 
     def body(hidden, lw):
-        return _batched_layer(args, lw, hidden, cos, sin, positions, mask), None
+        return _batched_layer(args, lw, hidden, inv_freq, rope_scale, positions, mask), None
 
     hidden, _ = jax.lax.scan(body, hidden, params["layers"])
     hidden = rms_norm(hidden, params["final_norm"], args.rms_eps)
