@@ -1,0 +1,50 @@
+"""Socket API server/client round trip with a real (tiny) engine."""
+import threading
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from umbrella_tpu.api.client import APIClient
+from umbrella_tpu.api.server import APIServer
+from umbrella_tpu.models.auto_model import random_runtime
+from umbrella_tpu.sequoia import growmap_from_spec
+from umbrella_tpu.speculation.static_engine import StaticEngine
+
+from test_static_engine import MAX_LEN, _cfg
+
+
+class _FakeTokenizer:
+    def encode(self, text):
+        return [1] + [ord(c) % 90 + 2 for c in text][:16]
+
+    def decode(self, ids, **kw):
+        return " ".join(str(i) for i in ids)
+
+
+def test_server_client_roundtrip():
+    target = random_runtime(_cfg(), MAX_LEN, seed=0)
+    draft = random_runtime(_cfg(), MAX_LEN, seed=1)
+    eng = StaticEngine(
+        draft_model_name=draft, target_model_name=target, dtype=jnp.float32,
+        growmap=growmap_from_spec(3, 4), max_length=MAX_LEN, safe_buffer=32,
+        eos_token_ids=[-1], tokenizer=_FakeTokenizer())
+    eng.initialize()
+
+    server = APIServer(config={}, port=0, engine=eng)
+    server.start()
+    try:
+        client = APIClient(port=server.port, retry_seconds=0.2)
+        confirmation = client.run()
+        assert confirmation["status"] == "connected"
+
+        out = client.get_output(context="hello world", max_new_tokens=8)
+        assert out["processed"] is True
+        assert len(out["generated_tokens"]) >= 8
+        assert out["avg_accept_tokens"] >= 1.0
+
+        out2 = client.get_output(input_ids=[1, 5, 9], max_new_tokens=8)
+        assert len(out2["generated_tokens"]) >= 8
+        client.close()
+    finally:
+        server.shutdown()
