@@ -1,0 +1,97 @@
+"""Request scheduling layer.
+
+The reference serializes every request through one mutex-guarded worker
+(`umbrella/api/server.py:43-55`) — one request at a time, no queueing policy. This
+module adds the scheduler layer the reference lacks (SURVEY.md §1 "no scheduler
+layer"): an admission queue with priorities and deadlines, worker threads driving one
+engine each (multi-engine = multi-chip data parallel serving), streaming callbacks,
+and per-request metrics. Continuous batching across sequences within one engine
+(north-star config[4]) builds on this scaffold once the batched KV cache lands.
+"""
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+from ..utils import setup_logger
+
+logger = setup_logger()
+
+
+@dataclass(order=True)
+class _QueuedRequest:
+    priority: int
+    seq: int
+    request: dict = field(compare=False)
+    future: Future = field(compare=False)
+    stream_cb: Optional[Callable] = field(compare=False, default=None)
+    submitted_at: float = field(compare=False, default=0.0)
+
+
+class Scheduler:
+    """Priority FIFO over one or more engines (one worker thread per engine)."""
+
+    def __init__(self, engines: List[Any]):
+        assert engines
+        self.engines = engines
+        self._q: "queue.PriorityQueue[_QueuedRequest]" = queue.PriorityQueue()
+        self._seq = itertools.count()
+        self._workers = []
+        self._stop = threading.Event()
+        self.metrics: Dict[str, float] = {
+            "requests": 0, "tokens": 0, "busy_seconds": 0.0, "queue_seconds": 0.0}
+        self._metrics_lock = threading.Lock()
+
+    def start(self):
+        for i, engine in enumerate(self.engines):
+            t = threading.Thread(target=self._worker, args=(engine,),
+                                 name=f"engine-worker-{i}", daemon=True)
+            t.start()
+            self._workers.append(t)
+
+    def submit(self, priority: int = 10, stream_cb: Optional[Callable] = None,
+               **request) -> Future:
+        fut: Future = Future()
+        self._q.put(_QueuedRequest(
+            priority=priority, seq=next(self._seq), request=request, future=fut,
+            stream_cb=stream_cb, submitted_at=time.time()))
+        return fut
+
+    def _worker(self, engine):
+        while not self._stop.is_set():
+            try:
+                item = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            wait = time.time() - item.submitted_at
+            t0 = time.time()
+            try:
+                if item.stream_cb is not None:
+                    partial = perf = None
+                    for partial, perf in engine.generate_stream(**item.request):
+                        item.stream_cb(partial, perf)
+                    result = {"generated_text": partial, "perf": perf}
+                else:
+                    result = engine.generate(**item.request)
+                item.future.set_result(result)
+                ntok = len(result.get("generated_tokens", []) or [])
+            except Exception as e:  # pragma: no cover
+                logger.exception("request failed")
+                item.future.set_exception(e)
+                ntok = 0
+            with self._metrics_lock:
+                self.metrics["requests"] += 1
+                self.metrics["tokens"] += ntok
+                self.metrics["busy_seconds"] += time.time() - t0
+                self.metrics["queue_seconds"] += wait
+
+    def shutdown(self, wait: bool = True):
+        self._stop.set()
+        if wait:
+            for t in self._workers:
+                t.join(timeout=5)
