@@ -105,7 +105,7 @@ def gemma2_forward(params: dict, args: GemmaStaticArgs, kv: KVCache,
                                   write_offset, inv_freq, rope_scale)
         return (hidden, kv), None
 
-    layer_ids = jnp.arange(args.n_layers)
+    layer_ids = jax.lax.iota(jnp.int32, args.n_layers)
     is_sliding = (layer_ids % 2) == 0
     (hidden, kv), _ = lax.scan(body, (hidden, kv), (layer_ids, is_sliding, layers))
 

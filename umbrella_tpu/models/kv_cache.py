@@ -65,7 +65,7 @@ def gather_compact(
 
     n_layers, kvh, _, head_dim = kv.k.shape
     tree_size = local_indices.shape[0]
-    pos = jnp.arange(tree_size)
+    pos = lax.iota(jnp.int32, tree_size)
     valid = (pos < accept_len)[:, None]
     sel = onehot(local_indices, tree_size, jnp.float32) * valid  # [T_out, T_src]
 

@@ -144,7 +144,7 @@ def llama_forward(
         )
         return (hidden, kv), None
 
-    layer_ids = jnp.arange(args.n_layers)
+    layer_ids = jax.lax.iota(jnp.int32, args.n_layers)
     (hidden, kv), _ = lax.scan(body, (hidden, kv), (layer_ids, layers))
 
     hidden = rms_norm(hidden, params["final_norm"], args.rms_eps)

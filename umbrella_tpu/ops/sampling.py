@@ -27,7 +27,7 @@ def apply_repetition_penalty(
     build a [V] "seen" indicator via scatter of the (padded) prefix, then adjust.
     """
     vocab = logits.shape[-1]
-    pos = jnp.arange(prev_tokens.shape[0])
+    pos = jax.lax.iota(jnp.int32, prev_tokens.shape[0])
     ids = jnp.where(pos < valid_len, prev_tokens, vocab)  # out-of-range -> dropped
     seen = jnp.zeros((vocab + 1,), dtype=jnp.bool_).at[ids].set(True)[:vocab]
     penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
@@ -88,7 +88,7 @@ def find_first_in_set(tokens: jnp.ndarray, eos_ids: jnp.ndarray, valid_len) -> j
     Fixed-shape version of `find_first_element_position` (spec_utils:316-338).
     """
     n = tokens.shape[0]
-    pos = jnp.arange(n)
+    pos = jax.lax.iota(jnp.int32, n)
     is_eos = jnp.any(tokens[:, None] == eos_ids[None, :], axis=-1) & (pos < valid_len)
     first = jnp.min(jnp.where(is_eos, pos, n))
     return jnp.where(first == n, -1, first)

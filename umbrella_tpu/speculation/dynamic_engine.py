@@ -64,22 +64,29 @@ class DynamicEngine(SpecEngineBase):
         eos_arr = self._eos_arr
 
         # node depth vector: [0, 1*W ones, 2*W ones, ...] (ref :65-68)
+        # All device-array constants go into self._consts and are passed INTO the
+        # jitted phases as arguments — closure constants poison this runtime's
+        # dispatch path (see ops/select.py).
         depth_all = np.zeros(tree_size, np.int32)
         for i in range(D):
             depth_all[1 + i * W : 1 + (i + 1) * W] = i + 1
-        depth_all = jnp.asarray(depth_all)
-        self._depth_all = depth_all
-        node_in_path = depth_all + 1
+        self._consts = dict(
+            depth=jnp.asarray(depth_all),
+            node_in_path=jnp.asarray(depth_all + 1),
+            eos=self._eos_arr,
+        )
 
-        def build_tree_fn(pd, kv_d, tokens, num_nodes):
-            bitmap = jnp.eye(tree_size, dtype=bool)
+        def build_tree_fn(pd, kv_d, tokens, num_nodes, consts):
+            ri = jax.lax.broadcasted_iota(jnp.int32, (tree_size, tree_size), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (tree_size, tree_size), 1)
+            bitmap = ri == ci
             parents = jnp.zeros(tree_size, jnp.int32)
             tree_score = jnp.zeros(tree_size, jnp.float32)
             lvl_start = 0
             for step in range(D + 1):
                 dec_len = 1 if step == 0 else W
                 ids = jax.lax.dynamic_slice(tokens, (num_nodes + lvl_start,), (dec_len,))
-                pos = num_nodes + jnp.full((dec_len,), step, jnp.int32)
+                pos = num_nodes + step + jnp.zeros((dec_len,), jnp.int32)
                 mask = tree_level_mask_rows(num_nodes, bitmap, lvl_start, dec_len, L)
                 logits, kv_d = d_fwd(pd, kv_d, ids, pos, mask, num_nodes + lvl_start)
                 if step < D:
@@ -100,8 +107,9 @@ class DynamicEngine(SpecEngineBase):
                         tree_score, sel_score, (new_start,))
                     parents = jax.lax.dynamic_update_slice(
                         parents, parent_global, (new_start,))
-                    self_rows = jax.nn.one_hot(
-                        new_start + jnp.arange(W), tree_size, dtype=jnp.bool_)
+                    self_rows_iota = jax.lax.broadcasted_iota(jnp.int32, (W, tree_size), 1)
+                    self_rows = self_rows_iota == (
+                        new_start + jax.lax.iota(jnp.int32, W))[:, None]
                     parent_rows = jnp.dot(
                         onehot(parent_global, tree_size, jnp.float32),
                         bitmap.astype(jnp.float32),
@@ -114,21 +122,21 @@ class DynamicEngine(SpecEngineBase):
         self._build_tree_jit = jax.jit(build_tree_fn, donate_argnums=(1, 2))
 
         def verify_fn(pt, kv_t, kv_d, tokens, bitmap, parents, num_nodes, key,
-                      temperature, topp, penalty, *, greedy, topk, use_pen):
+                      temperature, topp, penalty, consts, *, greedy, topk, use_pen):
             ids = jax.lax.dynamic_slice(tokens, (num_nodes,), (tree_size,))
-            pos = num_nodes + depth_all
+            pos = num_nodes + consts["depth"]
             mask = tree_mask_rows(num_nodes, bitmap, L)
             logits, kv_t = t_fwd(pt, kv_t, ids, pos, mask, num_nodes)
             return verify_tail(logits, kv_t, kv_d, tokens, num_nodes, key,
                                temperature, topp, penalty, bitmap, parents,
-                               node_in_path, eos_arr, tree_size=tree_size,
+                               consts["node_in_path"], consts["eos"], tree_size=tree_size,
                                greedy=greedy, topk=topk, use_pen=use_pen)
 
         def tail_fn(logits, kv_t, kv_d, tokens, bitmap, parents, num_nodes, key,
-                    temperature, topp, penalty, *, greedy, topk, use_pen):
+                    temperature, topp, penalty, consts, *, greedy, topk, use_pen):
             return verify_tail(logits, kv_t, kv_d, tokens, num_nodes, key,
                                temperature, topp, penalty, bitmap, parents,
-                               node_in_path, eos_arr, tree_size=tree_size,
+                               consts["node_in_path"], consts["eos"], tree_size=tree_size,
                                greedy=greedy, topk=topk, use_pen=use_pen)
 
         self._verify_cache = {}
@@ -150,7 +158,8 @@ class DynamicEngine(SpecEngineBase):
     def build_tree(self):
         (self.tokens, self.kv_draft, self._tree_bitmap,
          self._tree_parents) = self._build_tree_jit(
-            self.draft_model.params, self.kv_draft, self.tokens, jnp.int32(self.num_nodes))
+            self.draft_model.params, self.kv_draft, self.tokens,
+            jnp.int32(self.num_nodes), self._consts)
 
     def verify(self) -> bool:
         greedy = self.temperature < 0.05
@@ -159,13 +168,14 @@ class DynamicEngine(SpecEngineBase):
         num_nodes = jnp.int32(self.num_nodes)
         fn = self._get_verify(greedy, self.topk, use_pen)
         common = (num_nodes, sub, jnp.float32(max(self.temperature, 1e-3)),
-                  jnp.float32(self.topp), jnp.float32(self.repetition_penalty))
+                  jnp.float32(self.topp), jnp.float32(self.repetition_penalty),
+                  self._consts)
         if self._fused_target:
             out = fn(self.target_model.params, self.kv_target, self.kv_draft,
                      self.tokens, self._tree_bitmap, self._tree_parents, *common)
         else:
             ids = jax.lax.dynamic_slice(self.tokens, (num_nodes,), (self.tree_size,))
-            pos = num_nodes + self._depth_all
+            pos = num_nodes + self._consts["depth"]
             mask = tree_mask_rows(num_nodes, self._tree_bitmap, self.max_length)
             logits, self.kv_target = self.target_model.streamed_forward(
                 self.kv_target, ids, pos, mask, num_nodes)

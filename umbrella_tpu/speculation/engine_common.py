@@ -95,31 +95,34 @@ class SpecEngineBase(BaseEngine):
         eos_arr = self._eos_arr
         ban_eos = self.ban_eos_at_prefill
 
-        def emit_token(logits_row, tokens, start, n_valid):
+        def emit_token(logits_row, tokens, start, n_valid, eos):
             if ban_eos:
-                logits_row = logits_row.at[eos_arr].set(-jnp.inf)
+                # mask EOS logits without scatter: compare against each eos id
+                vocab_iota = jax.lax.iota(jnp.int32, logits_row.shape[0])
+                is_eos = jnp.any(vocab_iota[:, None] == eos[None, :], axis=-1)
+                logits_row = jnp.where(is_eos, -jnp.inf, logits_row)
             next_tok = jnp.argmax(logits_row).astype(jnp.int32)
             return jax.lax.dynamic_update_slice(tokens, next_tok[None], (start + n_valid,))
 
-        def chunk_fn(pd, pt, kv_d, kv_t, tokens, start, n_valid, *, bucket, emit):
+        def chunk_fn(pd, pt, kv_d, kv_t, tokens, start, n_valid, eos, *, bucket, emit):
             ids = jax.lax.dynamic_slice(tokens, (start,), (bucket,))
-            pos = start + jnp.arange(bucket, dtype=jnp.int32)
+            pos = start + jax.lax.iota(jnp.int32, bucket)
             mask = causal_mask_rows(start, bucket, L)
             _, kv_d = d_fwd(pd, kv_d, ids, pos, mask, start)
             logits, kv_t = t_fwd(pt, kv_t, ids, pos, mask, start)
             if emit:
-                tokens = emit_token(logits[n_valid - 1], tokens, start, n_valid)
+                tokens = emit_token(logits[n_valid - 1], tokens, start, n_valid, eos)
             return tokens, kv_d, kv_t
 
         def chunk_draft_only_fn(pd, kv_d, tokens, start, *, bucket):
             ids = jax.lax.dynamic_slice(tokens, (start,), (bucket,))
-            pos = start + jnp.arange(bucket, dtype=jnp.int32)
+            pos = start + jax.lax.iota(jnp.int32, bucket)
             mask = causal_mask_rows(start, bucket, L)
             _, kv_d = d_fwd(pd, kv_d, ids, pos, mask, start)
             return kv_d
 
-        def emit_fn(logits_row, tokens, start, n_valid):
-            return emit_token(logits_row, tokens, start, n_valid)
+        def emit_fn(logits_row, tokens, start, n_valid, eos):
+            return emit_token(logits_row, tokens, start, n_valid, eos)
 
         self._prefill_cache = {}
         self._prefill_draft_cache = {}
@@ -155,14 +158,14 @@ class SpecEngineBase(BaseEngine):
                 fn = self._get_prefill(PREFILL_CHUNK, False)
                 self.tokens, self.kv_draft, self.kv_target = fn(
                     pd, pt, self.kv_draft, self.kv_target, self.tokens,
-                    jnp.int32(start + off), jnp.int32(PREFILL_CHUNK))
+                    jnp.int32(start + off), jnp.int32(PREFILL_CHUNK), self._eos_arr)
                 off += PREFILL_CHUNK
             rem = n_valid - off
             bucket = next_bucket(rem, PREFILL_BUCKETS)
             fn = self._get_prefill(bucket, True)
             self.tokens, self.kv_draft, self.kv_target = fn(
                 pd, pt, self.kv_draft, self.kv_target, self.tokens,
-                jnp.int32(start + off), jnp.int32(rem))
+                jnp.int32(start + off), jnp.int32(rem), self._eos_arr)
         else:
             # offload target: draft chunks jitted; target layer-streamed
             off = 0
@@ -181,7 +184,7 @@ class SpecEngineBase(BaseEngine):
                 off += min(rem, bucket)
             self.tokens = self._emit_jit(
                 last_logits[n_valid - 1 - last_off],
-                self.tokens, jnp.int32(start), jnp.int32(n_valid))
+                self.tokens, jnp.int32(start), jnp.int32(n_valid), self._eos_arr)
 
     def prefill(self, text: str):
         ids = self.tokenizer.encode(text)

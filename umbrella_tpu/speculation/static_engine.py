@@ -61,64 +61,76 @@ class StaticEngine(SpecEngineBase):
     # -------------------------------------------------------------- jitted phases
 
     def _build_tree_phases(self):
+        # NOTE: every device-array constant (bitmap, depth vectors, gather indices,
+        # eos ids) is passed INTO the jitted phases as an argument pytree — embedding
+        # them as closure constants poisons this runtime's dispatch path permanently
+        # (see ops/select.py).
         gm = self.growmap
         L = self.max_length
         d_fwd = self.draft_model.forward
         t_fused = self.target_model.supports_fused_phases
         t_fwd = self.target_model.forward if t_fused else None
-
-        bitmap = jnp.asarray(gm.bitmap)
-        depth_all = jnp.asarray(gm.depth, jnp.int32)
-        parents = jnp.asarray(gm.parents, jnp.int32)
-        node_in_path = jnp.asarray(gm.node_in_path, jnp.int32)
-        eos_arr = self._eos_arr
         tree_size = gm.size
 
-        level_meta = []
+        level_static = []  # python ints only — safe to close over
+        level_arrays = []  # device constants — passed as args
         for lvl in range(gm.num_levels):
-            level_meta.append(dict(
+            level_static.append(dict(
                 start=gm.level_start(lvl),
                 n=len(gm.roots[lvl]),
-                nodes=jnp.asarray(gm.level_nodes(lvl)),
-                depth=jnp.asarray(gm.depth[gm.level_nodes(lvl)], jnp.int32),
                 topk=gm.level_topk(lvl) if lvl < gm.num_levels - 1 else 0,
+            ))
+            level_arrays.append(dict(
+                depth=jnp.asarray(gm.depth[gm.level_nodes(lvl)], jnp.int32),
                 gather=(jnp.asarray(gm.level_gather_indices(lvl))
-                        if lvl < gm.num_levels - 1 else None),
+                        if lvl < gm.num_levels - 1 else jnp.zeros(0, jnp.int32)),
             ))
 
-        def build_tree_fn(pd, kv_d, tokens, num_nodes):
-            for m in level_meta:
-                ids = jax.lax.dynamic_slice(tokens, (num_nodes + m["start"],), (m["n"],))
-                pos = num_nodes + m["depth"]
-                mask = tree_level_mask_rows(num_nodes, bitmap, m["start"], m["n"], L)
-                logits, kv_d = d_fwd(pd, kv_d, ids, pos, mask, num_nodes + m["start"])
-                if m["topk"] > 0:
+        self._consts = dict(
+            bitmap=jnp.asarray(gm.bitmap),
+            depth=jnp.asarray(gm.depth, jnp.int32),
+            parents=jnp.asarray(gm.parents, jnp.int32),
+            node_in_path=jnp.asarray(gm.node_in_path, jnp.int32),
+            eos=self._eos_arr,
+            levels=tuple(level_arrays),
+        )
+
+        def build_tree_fn(pd, kv_d, tokens, num_nodes, consts):
+            bitmap = consts["bitmap"]
+            for ms, ma in zip(level_static, consts["levels"]):
+                ids = jax.lax.dynamic_slice(tokens, (num_nodes + ms["start"],), (ms["n"],))
+                pos = num_nodes + ma["depth"]
+                mask = tree_level_mask_rows(num_nodes, bitmap, ms["start"], ms["n"], L)
+                logits, kv_d = d_fwd(pd, kv_d, ids, pos, mask, num_nodes + ms["start"])
+                if ms["topk"] > 0:
                     from ..ops.select import take_vec
 
-                    cand = jax.lax.top_k(logits, m["topk"])[1].reshape(-1)
-                    new_tokens = take_vec(cand, m["gather"]).astype(jnp.int32)
+                    cand = jax.lax.top_k(logits, ms["topk"])[1].reshape(-1)
+                    new_tokens = take_vec(cand, ma["gather"]).astype(jnp.int32)
                     tokens = jax.lax.dynamic_update_slice(
-                        tokens, new_tokens, (num_nodes + m["start"] + m["n"],))
+                        tokens, new_tokens, (num_nodes + ms["start"] + ms["n"],))
             return tokens, kv_d
 
         self._build_tree_jit = jax.jit(build_tree_fn, donate_argnums=(1, 2))
 
         def verify_fn(pt, kv_t, kv_d, tokens, num_nodes, key, temperature, topp, penalty,
-                      *, greedy, topk, use_pen):
+                      consts, *, greedy, topk, use_pen):
             ids = jax.lax.dynamic_slice(tokens, (num_nodes,), (tree_size,))
-            pos = num_nodes + depth_all
-            mask = tree_mask_rows(num_nodes, bitmap, L)
+            pos = num_nodes + consts["depth"]
+            mask = tree_mask_rows(num_nodes, consts["bitmap"], L)
             logits, kv_t = t_fwd(pt, kv_t, ids, pos, mask, num_nodes)
             return verify_tail(logits, kv_t, kv_d, tokens, num_nodes, key,
-                               temperature, topp, penalty, bitmap, parents,
-                               node_in_path, eos_arr, tree_size=tree_size,
+                               temperature, topp, penalty, consts["bitmap"],
+                               consts["parents"], consts["node_in_path"], consts["eos"],
+                               tree_size=tree_size,
                                greedy=greedy, topk=topk, use_pen=use_pen)
 
         def tail_fn(logits, kv_t, kv_d, tokens, num_nodes, key, temperature, topp, penalty,
-                    *, greedy, topk, use_pen):
+                    consts, *, greedy, topk, use_pen):
             return verify_tail(logits, kv_t, kv_d, tokens, num_nodes, key,
-                               temperature, topp, penalty, bitmap, parents,
-                               node_in_path, eos_arr, tree_size=tree_size,
+                               temperature, topp, penalty, consts["bitmap"],
+                               consts["parents"], consts["node_in_path"], consts["eos"],
+                               tree_size=tree_size,
                                greedy=greedy, topk=topk, use_pen=use_pen)
 
         self._verify_cache = {}
@@ -134,14 +146,13 @@ class StaticEngine(SpecEngineBase):
             return self._verify_cache[k]
 
         self._get_verify = get_verify
-        self._depth_all = depth_all
-        self._bitmap = bitmap
 
     # -------------------------------------------------------------- decode phases
 
     def build_tree(self):
         self.tokens, self.kv_draft = self._build_tree_jit(
-            self.draft_model.params, self.kv_draft, self.tokens, jnp.int32(self.num_nodes))
+            self.draft_model.params, self.kv_draft, self.tokens,
+            jnp.int32(self.num_nodes), self._consts)
 
     def verify(self) -> bool:
         greedy = self.temperature < 0.05
@@ -150,14 +161,15 @@ class StaticEngine(SpecEngineBase):
         num_nodes = jnp.int32(self.num_nodes)
         fn = self._get_verify(greedy, self.topk, use_pen)
         common = (num_nodes, sub, jnp.float32(max(self.temperature, 1e-3)),
-                  jnp.float32(self.topp), jnp.float32(self.repetition_penalty))
+                  jnp.float32(self.topp), jnp.float32(self.repetition_penalty),
+                  self._consts)
         if self._fused_target:
             out = fn(self.target_model.params, self.kv_target, self.kv_draft,
                      self.tokens, *common)
         else:
             ids = jax.lax.dynamic_slice(self.tokens, (num_nodes,), (self.tree_size,))
-            pos = num_nodes + self._depth_all
-            mask = tree_mask_rows(num_nodes, self._bitmap, self.max_length)
+            pos = num_nodes + self._consts["depth"]
+            mask = tree_mask_rows(num_nodes, self._consts["bitmap"], self.max_length)
             logits, self.kv_target = self.target_model.streamed_forward(
                 self.kv_target, ids, pos, mask, num_nodes)
             out = fn(logits, self.kv_target, self.kv_draft, self.tokens, *common)

@@ -44,7 +44,7 @@ def verify_tail(
         bitmap.astype(jnp.int32) * accept[None, :].astype(jnp.int32), axis=-1)
     path_ok = anc_count == node_in_path
     accept_len0 = jnp.sum(path_ok).astype(jnp.int32)
-    iota = jnp.arange(tree_size, dtype=jnp.int32)
+    iota = jax.lax.iota(jnp.int32, tree_size)
     path = jnp.sort(jnp.where(path_ok, iota, tree_size))
     path = jnp.clip(path, 0, tree_size - 1)
     last = jnp.max(jnp.where(path_ok, iota, -1))
@@ -52,7 +52,7 @@ def verify_tail(
 
     acc_tokens = take_vec(ids, path)
     old_block = jax.lax.dynamic_slice(tokens, (num_nodes,), (tree_size + 1,))
-    bidx = jnp.arange(tree_size + 1, dtype=jnp.int32)
+    bidx = jax.lax.iota(jnp.int32, tree_size + 1)
     acc_pad = jnp.concatenate([acc_tokens, acc_tokens[-1:]])
     block = jnp.where(bidx < accept_len0, acc_pad,
                       jnp.where(bidx == accept_len0, bonus, old_block))
