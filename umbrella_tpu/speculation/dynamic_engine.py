@@ -153,6 +153,14 @@ class DynamicEngine(SpecEngineBase):
 
         self._get_verify = get_verify
 
+        def prepare_verify_fn(tokens, bitmap, num_nodes, consts):
+            ids = jax.lax.dynamic_slice(tokens, (num_nodes,), (tree_size,))
+            pos = num_nodes + consts["depth"]
+            mask = tree_mask_rows(num_nodes, bitmap, L)
+            return ids, pos, mask
+
+        self._prepare_verify = jax.jit(prepare_verify_fn)
+
     # -------------------------------------------------------------- decode phases
 
     def build_tree(self):
@@ -174,9 +182,8 @@ class DynamicEngine(SpecEngineBase):
             out = fn(self.target_model.params, self.kv_target, self.kv_draft,
                      self.tokens, self._tree_bitmap, self._tree_parents, *common)
         else:
-            ids = jax.lax.dynamic_slice(self.tokens, (num_nodes,), (self.tree_size,))
-            pos = num_nodes + self._consts["depth"]
-            mask = tree_mask_rows(num_nodes, self._tree_bitmap, self.max_length)
+            ids, pos, mask = self._prepare_verify(
+                self.tokens, self._tree_bitmap, num_nodes, self._consts)
             logits, self.kv_target = self.target_model.streamed_forward(
                 self.kv_target, ids, pos, mask, num_nodes)
             out = fn(logits, self.kv_target, self.kv_draft, self.tokens,

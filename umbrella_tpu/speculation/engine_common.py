@@ -102,7 +102,8 @@ class SpecEngineBase(BaseEngine):
                 is_eos = jnp.any(vocab_iota[:, None] == eos[None, :], axis=-1)
                 logits_row = jnp.where(is_eos, -jnp.inf, logits_row)
             next_tok = jnp.argmax(logits_row).astype(jnp.int32)
-            return jax.lax.dynamic_update_slice(tokens, next_tok[None], (start + n_valid,))
+            tokens = jax.lax.dynamic_update_slice(tokens, next_tok[None], (start + n_valid,))
+            return tokens, next_tok
 
         def chunk_fn(pd, pt, kv_d, kv_t, tokens, start, n_valid, eos, *, bucket, emit):
             ids = jax.lax.dynamic_slice(tokens, (start,), (bucket,))
@@ -111,8 +112,12 @@ class SpecEngineBase(BaseEngine):
             _, kv_d = d_fwd(pd, kv_d, ids, pos, mask, start)
             logits, kv_t = t_fwd(pt, kv_t, ids, pos, mask, start)
             if emit:
-                tokens = emit_token(logits[n_valid - 1], tokens, start, n_valid, eos)
-            return tokens, kv_d, kv_t
+                # select row n_valid-1 without an eager slice (download is full-array)
+                row_sel = jax.lax.dynamic_slice(logits, (n_valid - 1, 0), (1, logits.shape[1]))[0]
+                tokens, next_tok = emit_token(row_sel, tokens, start, n_valid, eos)
+            else:
+                next_tok = jnp.int32(0)
+            return tokens, kv_d, kv_t, next_tok
 
         def chunk_draft_only_fn(pd, kv_d, tokens, start, *, bucket):
             ids = jax.lax.dynamic_slice(tokens, (start,), (bucket,))
@@ -121,8 +126,9 @@ class SpecEngineBase(BaseEngine):
             _, kv_d = d_fwd(pd, kv_d, ids, pos, mask, start)
             return kv_d
 
-        def emit_fn(logits_row, tokens, start, n_valid, eos):
-            return emit_token(logits_row, tokens, start, n_valid, eos)
+        def emit_fn(logits, tokens, start, n_valid, eos):
+            row_sel = jax.lax.dynamic_slice(logits, (n_valid - 1, 0), (1, logits.shape[1]))[0]
+            return emit_token(row_sel, tokens, start, n_valid, eos)
 
         self._prefill_cache = {}
         self._prefill_draft_cache = {}
@@ -143,8 +149,23 @@ class SpecEngineBase(BaseEngine):
                     donate_argnums=(1,))
             return self._prefill_draft_cache[bucket]
 
+        def prepare_chunk_fn(tokens, start, *, bucket):
+            ids = jax.lax.dynamic_slice(tokens, (start,), (bucket,))
+            pos = start + jax.lax.iota(jnp.int32, bucket)
+            mask = causal_mask_rows(start, bucket, L)
+            return ids, pos, mask
+
+        self._prepare_cache = {}
+
+        def prepare_chunk(bucket):
+            if bucket not in self._prepare_cache:
+                self._prepare_cache[bucket] = jax.jit(
+                    functools.partial(prepare_chunk_fn, bucket=bucket))
+            return self._prepare_cache[bucket]
+
         self._get_prefill = get_prefill
         self._get_prefill_draft = get_prefill_draft
+        self._prepare_chunk = prepare_chunk
         self._prefill_fused = t_fused
 
     def _run_prefix(self, start: int, n_valid: int):
@@ -152,22 +173,24 @@ class SpecEngineBase(BaseEngine):
         chunks, emitting the next token at tokens[start+n_valid]
         (ref static:143-177 — prefill fills BOTH KV caches then argmaxes target)."""
         pd, pt = self.draft_model.params, self.target_model.params
+        next_tok = None
         if self._prefill_fused:
             off = 0
             while n_valid - off > PREFILL_CHUNK:
                 fn = self._get_prefill(PREFILL_CHUNK, False)
-                self.tokens, self.kv_draft, self.kv_target = fn(
+                self.tokens, self.kv_draft, self.kv_target, _ = fn(
                     pd, pt, self.kv_draft, self.kv_target, self.tokens,
                     jnp.int32(start + off), jnp.int32(PREFILL_CHUNK), self._eos_arr)
                 off += PREFILL_CHUNK
             rem = n_valid - off
             bucket = next_bucket(rem, PREFILL_BUCKETS)
             fn = self._get_prefill(bucket, True)
-            self.tokens, self.kv_draft, self.kv_target = fn(
+            self.tokens, self.kv_draft, self.kv_target, next_tok = fn(
                 pd, pt, self.kv_draft, self.kv_target, self.tokens,
                 jnp.int32(start + off), jnp.int32(rem), self._eos_arr)
         else:
-            # offload target: draft chunks jitted; target layer-streamed
+            # offload target: draft chunks jitted; target layer-streamed. Slices are
+            # prepared in a jit (never eagerly — see CLAUDE.md runtime rules).
             off = 0
             last_logits, last_off = None, 0
             while off < n_valid:
@@ -175,16 +198,16 @@ class SpecEngineBase(BaseEngine):
                 bucket = PREFILL_CHUNK if rem > PREFILL_CHUNK else next_bucket(rem, PREFILL_BUCKETS)
                 self.kv_draft = self._get_prefill_draft(bucket)(
                     pd, self.kv_draft, self.tokens, jnp.int32(start + off))
-                ids = jax.lax.dynamic_slice(self.tokens, (jnp.int32(start + off),), (bucket,))
-                pos = start + off + jnp.arange(bucket, dtype=jnp.int32)
-                mask = causal_mask_rows(jnp.int32(start + off), bucket, self.max_length)
+                ids, pos, mask = self._prepare_chunk(bucket)(
+                    self.tokens, jnp.int32(start + off))
                 last_logits, self.kv_target = self.target_model.streamed_forward(
                     self.kv_target, ids, pos, mask, jnp.int32(start + off))
                 last_off = off
                 off += min(rem, bucket)
-            self.tokens = self._emit_jit(
-                last_logits[n_valid - 1 - last_off],
-                self.tokens, jnp.int32(start), jnp.int32(n_valid), self._eos_arr)
+            self.tokens, next_tok = self._emit_jit(
+                last_logits, self.tokens, jnp.int32(start + last_off),
+                jnp.int32(n_valid - last_off), self._eos_arr)
+        return next_tok
 
     def prefill(self, text: str):
         ids = self.tokenizer.encode(text)
@@ -201,9 +224,9 @@ class SpecEngineBase(BaseEngine):
             return False
         self.tokens_host[:prefix_len] = input_ids
         self.tokens = jnp.asarray(self.tokens_host)
-        self._run_prefix(0, prefix_len)
+        next_tok = self._run_prefix(0, prefix_len)
         self.num_nodes = prefix_len
-        self.tokens_host[: prefix_len + 1] = np.asarray(self.tokens[: prefix_len + 1])
+        self.tokens_host[prefix_len] = int(next_tok)
         return True
 
     def _append(self, input_ids) -> bool:
@@ -216,9 +239,9 @@ class SpecEngineBase(BaseEngine):
         self.tokens_host[start + 1 : start + 1 + append_len] = input_ids
         self.tokens = jnp.asarray(self.tokens_host)
         n_valid = append_len + 1
-        self._run_prefix(start, n_valid)
+        next_tok = self._run_prefix(start, n_valid)
         self.num_nodes = start + n_valid
-        self.tokens_host[: self.num_nodes + 1] = np.asarray(self.tokens[: self.num_nodes + 1])
+        self.tokens_host[self.num_nodes] = int(next_tok)
         return True
 
     # ------------------------------------------------------------ host helpers

@@ -147,6 +147,14 @@ class StaticEngine(SpecEngineBase):
 
         self._get_verify = get_verify
 
+        def prepare_verify_fn(tokens, num_nodes, consts):
+            ids = jax.lax.dynamic_slice(tokens, (num_nodes,), (tree_size,))
+            pos = num_nodes + consts["depth"]
+            mask = tree_mask_rows(num_nodes, consts["bitmap"], L)
+            return ids, pos, mask
+
+        self._prepare_verify = jax.jit(prepare_verify_fn)
+
     # -------------------------------------------------------------- decode phases
 
     def build_tree(self):
@@ -167,9 +175,7 @@ class StaticEngine(SpecEngineBase):
             out = fn(self.target_model.params, self.kv_target, self.kv_draft,
                      self.tokens, *common)
         else:
-            ids = jax.lax.dynamic_slice(self.tokens, (num_nodes,), (self.tree_size,))
-            pos = num_nodes + self._consts["depth"]
-            mask = tree_mask_rows(num_nodes, self._consts["bitmap"], self.max_length)
+            ids, pos, mask = self._prepare_verify(self.tokens, num_nodes, self._consts)
             logits, self.kv_target = self.target_model.streamed_forward(
                 self.kv_target, ids, pos, mask, num_nodes)
             out = fn(logits, self.kv_target, self.kv_draft, self.tokens, *common)
