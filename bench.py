@@ -52,23 +52,18 @@ def main():
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, 120000, size=128).astype(np.int32)
 
-    # warmup (compiles prefill buckets + build_tree + verify)
+    # warmup (compiles prefill buckets + the fused decode loop)
     assert eng._prefill(prompt)
-    eng.build_tree()
-    eng.verify()
+    eng._decode_fused(8)
     jax.block_until_ready(eng.tokens)
 
-    # timed run
+    # timed run — entire loop is ONE dispatch (fused lax.while_loop)
     eng.reset()
     assert eng._prefill(prompt)
     start = eng.num_nodes
     jax.block_until_ready(eng.tokens)
     t0 = time.time()
-    steps = 0
-    while (eng.num_nodes - start) < 192 and eng.validate_status():
-        eng.build_tree()
-        eng.verify()
-        steps += 1
+    steps = eng._decode_fused(192)
     jax.block_until_ready(eng.tokens)
     dt = time.time() - t0
 

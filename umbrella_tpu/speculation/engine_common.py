@@ -339,6 +339,30 @@ class SpecEngineBase(BaseEngine):
             return False, api_args
         return True, None
 
+    def _can_decode_fused(self) -> bool:
+        return (getattr(self, "_get_decode_loop", None) is not None
+                and getattr(self, "_fused_target", False)
+                and self.draft_model.supports_fused_phases)
+
+    def _decode_fused(self, max_new_tokens: int):
+        """Run the whole decode loop in ONE dispatch; sync host state once at the end.
+        Returns (large_model_steps)."""
+        greedy = self.temperature < 0.05
+        use_pen = self.repetition_penalty > 1.01
+        self._key, sub = jax.random.split(self._key)
+        fn = self._get_decode_loop(greedy, self.topk, use_pen)
+        out = fn(self.draft_model.params, self.target_model.params,
+                 self.kv_draft, self.kv_target, self.tokens,
+                 jnp.int32(self.num_nodes), sub, jnp.int32(max_new_tokens),
+                 jnp.float32(max(self.temperature, 1e-3)), jnp.float32(self.topp),
+                 jnp.float32(self.repetition_penalty), self._consts)
+        self.tokens, self.kv_draft, self.kv_target, stats = out
+        jax.block_until_ready(self.tokens)
+        stats_np = np.asarray(stats)
+        self.num_nodes = int(stats_np[0])
+        self.tokens_host[:] = np.asarray(self.tokens)
+        return max(int(stats_np[1]), 1)
+
     def generate(self, **api_args):
         self.update_generation_args(**api_args)
         ok, early = self._start_request(api_args)
@@ -351,10 +375,13 @@ class SpecEngineBase(BaseEngine):
         large_model_step = 0
         decode = True
         start = self.num_nodes
-        while decode and (self.num_nodes - start) < max_new_tokens and self.validate_status():
-            self.build_tree()
-            decode = self.verify()
-            large_model_step += 1
+        if self._can_decode_fused():
+            large_model_step = self._decode_fused(max_new_tokens)
+        else:
+            while decode and (self.num_nodes - start) < max_new_tokens and self.validate_status():
+                self.build_tree()
+                decode = self.verify()
+                large_model_step += 1
         jax.block_until_ready(self.tokens)
         t2 = time.time()
 

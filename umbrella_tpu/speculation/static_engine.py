@@ -155,6 +155,56 @@ class StaticEngine(SpecEngineBase):
 
         self._prepare_verify = jax.jit(prepare_verify_fn)
 
+        # ---- fully fused decode loop: ONE dispatch per request ------------------
+        # On this runtime any per-step host sync permanently degrades dispatch to
+        # ~25ms (see CLAUDE.md), and even on a healthy runtime one dispatch per
+        # request beats 2*steps dispatches. The whole build+verify loop runs inside
+        # lax.while_loop; only the final token buffer is downloaded.
+        cap = self.max_length - self.safe_buffer
+
+        def decode_loop_fn(pd, pt, kv_d, kv_t, tokens, num_nodes, key, max_new,
+                           temperature, topp, penalty, consts,
+                           *, greedy, topk, use_pen):
+            start = num_nodes
+
+            def cond(state):
+                tokens, kv_d, kv_t, num_nodes, key, steps, cont = state
+                return cont & ((num_nodes - start) < max_new) & (num_nodes <= cap)
+
+            def body(state):
+                tokens, kv_d, kv_t, num_nodes, key, steps, cont = state
+                tokens, kv_d = build_tree_fn(pd, kv_d, tokens, num_nodes, consts)
+                key, sub = jax.random.split(key)
+                ids = jax.lax.dynamic_slice(tokens, (num_nodes,), (tree_size,))
+                pos = num_nodes + consts["depth"]
+                mask = tree_mask_rows(num_nodes, consts["bitmap"], L)
+                logits, kv_t = t_fwd(pt, kv_t, ids, pos, mask, num_nodes)
+                (tokens, kv_t, kv_d, num_nodes, _accept_len, eos_found, _block) = verify_tail(
+                    logits, kv_t, kv_d, tokens, num_nodes, sub,
+                    temperature, topp, penalty, consts["bitmap"], consts["parents"],
+                    consts["node_in_path"], consts["eos"], tree_size=tree_size,
+                    greedy=greedy, topk=topk, use_pen=use_pen)
+                return (tokens, kv_d, kv_t, num_nodes, key, steps + 1, ~eos_found)
+
+            init = (tokens, kv_d, kv_t, num_nodes, key, jnp.int32(0), jnp.bool_(True))
+            tokens, kv_d, kv_t, num_nodes, key, steps, cont = jax.lax.while_loop(
+                cond, body, init)
+            stats = jnp.stack([num_nodes, steps, (~cont).astype(jnp.int32)])
+            return tokens, kv_d, kv_t, stats
+
+        self._decode_loop_cache = {}
+
+        def get_decode_loop(greedy, topk, use_pen):
+            k = (greedy, topk, use_pen)
+            if k not in self._decode_loop_cache:
+                self._decode_loop_cache[k] = jax.jit(
+                    functools.partial(decode_loop_fn, greedy=greedy, topk=topk,
+                                      use_pen=use_pen),
+                    donate_argnums=(2, 3, 4))
+            return self._decode_loop_cache[k]
+
+        self._get_decode_loop = get_decode_loop
+
     # -------------------------------------------------------------- decode phases
 
     def build_tree(self):
