@@ -17,6 +17,10 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache — TPU compiles via the tunnel take minutes cold
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from umbrella_tpu.config import ModelConfig
