@@ -153,6 +153,21 @@ def awq_matmul(x: jnp.ndarray, q: AwqTensor, bias: Optional[jnp.ndarray] = None,
 
 def awq_from_hf_tensors(qweight: np.ndarray, qzeros: np.ndarray, scales: np.ndarray,
                         dtype=jnp.bfloat16) -> AwqTensor:
-    """HF AutoAWQ GEMM tensors -> TPU split-halves layout."""
+    """HF AutoAWQ GEMM tensors -> TPU split-halves layout.
+
+    Uses the native C repacker (quantization/_repack.c) when available — one pass
+    over the packed words instead of numpy's temporary int8 blow-ups (matters for
+    70B-scale checkpoints); falls back to the numpy path transparently.
+    """
+    from .native import repack_weights_native, unpack_zeros_native
+
+    w8 = repack_weights_native(qweight)
+    zeros = unpack_zeros_native(qzeros)
+    if w8 is not None and zeros is not None:
+        return AwqTensor(
+            w8=jnp.asarray(w8),
+            scales=jnp.asarray(scales.astype(np.float32)).astype(dtype),
+            zeros=jnp.asarray(zeros).astype(dtype),
+        )
     int_w, int_z = unpack_awq_numpy(qweight, qzeros)
     return pack_tpu_layout(int_w, int_z, scales.astype(np.float32), dtype=dtype)

@@ -283,39 +283,60 @@ class SpecEngineBase(BaseEngine):
 
     # ------------------------------------------------------------ decode loops
 
-    def speculative_decoding(self, max_new_tokens: int = 128):
-        max_new_tokens = max(max_new_tokens, self.stop_distance)
+    # streamed decode advances in fused segments of this many tokens (one dispatch
+    # + one host sync per segment) when the fused loop is available
+    stream_segment = 32
+
+    def _decode_segments(self, max_new_tokens: int, on_progress):
+        """Shared streaming loop body. Calls on_progress(generated_ids, elapsed,
+        steps) after every commit; returns (dec_len, elapsed, steps)."""
         jax.block_until_ready(self.tokens)
         t1 = time.time()
         large_model_step = 0
         decode = True
         start = self.num_nodes
         generated_ids = []
-        pos = 0
-        generated_text = [""]
+        fused = self._can_decode_fused()
         while decode and self.validate_status():
             begin = self.num_nodes
-            self.build_tree()
-            decode = self.verify()
-            large_model_step += 1
+            if fused:
+                seg = min(self.stream_segment,
+                          max(max_new_tokens - (self.num_nodes - start), 1))
+                large_model_step += self._decode_fused(seg)
+                decode = not self._last_eos_stop
+            else:
+                self.build_tree()
+                decode = self.verify()
+                large_model_step += 1
             generated_ids.extend(self.tokens_host[begin : self.num_nodes].tolist())
-            generated_text = self._decode_words(generated_ids)
-            now = len(generated_text) - 1
-            if now > pos:
-                print(" ".join(generated_text[pos:now]), end=" ", flush=True)
-                pos = now
-            if (is_sentence_complete_regex(generated_text[-1])
+            last_words = on_progress(generated_ids, time.time() - t1, large_model_step)
+            if (is_sentence_complete_regex(last_words)
                     and (self.num_nodes - start >= max_new_tokens - self.stop_distance)) \
                     or (self.num_nodes - start >= max_new_tokens):
                 decode = False
-        print(" ".join(generated_text[pos:]), flush=True)
         jax.block_until_ready(self.tokens)
-        t2 = time.time()
-        dec_len = self.num_nodes - start + 1
+        return self.num_nodes - start + 1, time.time() - t1, large_model_step
+
+    def speculative_decoding(self, max_new_tokens: int = 128):
+        max_new_tokens = max(max_new_tokens, self.stop_distance)
+        state = {"pos": 0, "words": [""]}
+
+        def on_progress(generated_ids, elapsed, steps):
+            words = self._decode_words(generated_ids)
+            state["words"] = words
+            now = len(words) - 1
+            if now > state["pos"]:
+                print(" ".join(words[state["pos"]:now]), end=" ", flush=True)
+                state["pos"] = now
+            return words[-1]
+
+        dec_len, elapsed, large_model_step = self._decode_segments(
+            max_new_tokens, on_progress)
+        print(" ".join(state["words"][state["pos"]:]), flush=True)
         logger.info(TextColors.colorize(
             "Avg Accept Tokens {:.2f} | TPOT {:.2f} ms ".format(
-                dec_len / large_model_step, 1000 * (t2 - t1) / dec_len), "magenta"))
-        return dec_len, (t2 - t1), large_model_step
+                dec_len / max(large_model_step, 1), 1000 * elapsed / dec_len), "magenta"))
+        return dec_len, elapsed, large_model_step
 
     def _start_request(self, api_args):
         input_ids = api_args.get("input_ids", None)
@@ -346,7 +367,7 @@ class SpecEngineBase(BaseEngine):
 
     def _decode_fused(self, max_new_tokens: int):
         """Run the whole decode loop in ONE dispatch; sync host state once at the end.
-        Returns (large_model_steps)."""
+        Returns large_model_steps; sets self._last_eos_stop."""
         greedy = self.temperature < 0.05
         use_pen = self.repetition_penalty > 1.01
         self._key, sub = jax.random.split(self._key)
@@ -360,6 +381,7 @@ class SpecEngineBase(BaseEngine):
         jax.block_until_ready(self.tokens)
         stats_np = np.asarray(stats)
         self.num_nodes = int(stats_np[0])
+        self._last_eos_stop = bool(stats_np[2])
         self.tokens_host[:] = np.asarray(self.tokens)
         return max(int(stats_np[1]), 1)
 
@@ -414,11 +436,18 @@ class SpecEngineBase(BaseEngine):
         pos = 0
         partial_text = ""
         generated_text_list = [""]
+        fused = self._can_decode_fused()
         while decode and self.validate_status():
             begin = self.num_nodes
-            self.build_tree()
-            decode = self.verify()
-            large_model_step += 1
+            if fused:
+                seg = min(self.stream_segment,
+                          max(max_new_tokens - (self.num_nodes - start), 1))
+                large_model_step += self._decode_fused(seg)
+                decode = not self._last_eos_stop
+            else:
+                self.build_tree()
+                decode = self.verify()
+                large_model_step += 1
             generated_ids.extend(self.tokens_host[begin : self.num_nodes].tolist())
             generated_text_list = self._decode_words(generated_ids)
             now = len(generated_text_list) - 1
