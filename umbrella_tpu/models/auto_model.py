@@ -178,3 +178,50 @@ def random_runtime(
     """Tiny random model for tests/benchmarks without checkpoints."""
     params = init_llama_params(cfg, jax.random.PRNGKey(seed), max_length, dtype, n_layers=n_layers)
     return ModelRuntime(cfg, params, max_length, dtype=dtype, n_layers=n_layers)
+
+
+def random_awq_runtime(
+    cfg: ModelConfig, max_length: int = 128, dtype=jnp.bfloat16, seed: int = 0,
+    group_size: int = 128, n_layers: Optional[int] = None,
+) -> ModelRuntime:
+    """Random W4-quantized model (AwqTensor weights built directly — no fp source);
+    lets benchmarks exercise the real 4-bit kernels at 8B/70B shapes cheaply."""
+    import numpy as np
+
+    from ..ops.rope import rope_params
+    from ..quantization.awq import AwqTensor
+
+    n = n_layers if n_layers is not None else cfg.num_hidden_layers
+    H, D = cfg.hidden_size, cfg.resolved_head_dim
+    Hq = cfg.num_attention_heads * D
+    KV = cfg.num_key_value_heads * D
+    I, V = cfg.intermediate_size, cfg.vocab_size
+    rng = np.random.default_rng(seed)
+
+    def q(k_dim, n_dim):
+        G = k_dim // group_size
+        return AwqTensor(
+            w8=jnp.asarray(rng.integers(0, 256, (n, k_dim // 2, n_dim), dtype=np.uint8).view(np.int8)),
+            scales=jnp.asarray(
+                rng.uniform(0.001, 0.01, (n, G, n_dim)).astype(np.float32)).astype(dtype),
+            zeros=jnp.asarray(
+                rng.integers(0, 16, (n, G, n_dim)).astype(np.float32)).astype(dtype),
+        )
+
+    layers = {
+        "input_norm": jnp.ones((n, H), dtype),
+        "post_norm": jnp.ones((n, H), dtype),
+        "wq": q(H, Hq), "wk": q(H, KV), "wv": q(H, KV), "wo": q(Hq, H),
+        "gate": q(H, I), "up": q(H, I), "down": q(I, H),
+    }
+    params = {
+        "embed": jnp.asarray(
+            (rng.standard_normal((V, H)) * 0.02).astype(np.float32)).astype(dtype),
+        "final_norm": jnp.ones((H,), dtype),
+        "layers": layers,
+        **rope_params(cfg),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = jnp.asarray(
+            (rng.standard_normal((H, V)) * 0.02).astype(np.float32)).astype(dtype)
+    return ModelRuntime(cfg, params, max_length, dtype=dtype, n_layers=n_layers)

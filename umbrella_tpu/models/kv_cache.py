@@ -22,15 +22,36 @@ from ..config import ModelConfig
 
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray  # [layers, kv_heads, max_len, head_dim]
+    k: jnp.ndarray  # [layers, kv_heads, max_len, head_dim] (bf16/f32, or int8 when quantized)
     v: jnp.ndarray
+    k_scale: jnp.ndarray | None = None  # [layers, kv_heads, max_len, 1] — int8 mode only
+    v_scale: jnp.ndarray | None = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
 
 def init_kv_cache(cfg: ModelConfig, max_length: int, dtype=jnp.bfloat16,
                   num_layers: int | None = None) -> KVCache:
     n_layers = num_layers if num_layers is not None else cfg.num_hidden_layers
     shape = (n_layers, cfg.num_key_value_heads, max_length, cfg.resolved_head_dim)
+    if dtype in ("int8", jnp.int8):
+        sshape = shape[:-1] + (1,)
+        return KVCache(
+            k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros(sshape, jnp.float32),
+            v_scale=jnp.zeros(sshape, jnp.float32))
     return KVCache(k=jnp.zeros(shape, dtype=dtype), v=jnp.zeros(shape, dtype=dtype))
+
+
+def _quantize_block(x: jnp.ndarray):
+    """[1, KVH, S, D] fp -> (int8 values, f32 scales [1, KVH, S, 1])."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def update_layer(
@@ -41,11 +62,20 @@ def update_layer(
     offset,  # scalar slot index (may be traced)
 ) -> KVCache:
     idx = (layer_idx, 0, offset, 0)
-    k_block = k_new.transpose(1, 0, 2)[None].astype(kv.k.dtype)  # [1, KVH, S, D]
-    v_block = v_new.transpose(1, 0, 2)[None].astype(kv.v.dtype)
+    k_block = k_new.transpose(1, 0, 2)[None]  # [1, KVH, S, D]
+    v_block = v_new.transpose(1, 0, 2)[None]
+    if kv.quantized:
+        kq, ks = _quantize_block(k_block)
+        vq, vs = _quantize_block(v_block)
+        return KVCache(
+            k=lax.dynamic_update_slice(kv.k, kq, idx),
+            v=lax.dynamic_update_slice(kv.v, vq, idx),
+            k_scale=lax.dynamic_update_slice(kv.k_scale, ks, idx),
+            v_scale=lax.dynamic_update_slice(kv.v_scale, vs, idx),
+        )
     return KVCache(
-        k=lax.dynamic_update_slice(kv.k, k_block, idx),
-        v=lax.dynamic_update_slice(kv.v, v_block, idx),
+        k=lax.dynamic_update_slice(kv.k, k_block.astype(kv.k.dtype), idx),
+        v=lax.dynamic_update_slice(kv.v, v_block.astype(kv.v.dtype), idx),
     )
 
 
@@ -63,17 +93,23 @@ def gather_compact(
     """
     from ..ops.select import onehot
 
-    n_layers, kvh, _, head_dim = kv.k.shape
     tree_size = local_indices.shape[0]
     pos = lax.iota(jnp.int32, tree_size)
     valid = (pos < accept_len)[:, None]
     sel = onehot(local_indices, tree_size, jnp.float32) * valid  # [T_out, T_src]
 
     def compact(buf):
+        if buf is None:
+            return None
+        n_layers, kvh, _, last = buf.shape
         window = lax.dynamic_slice(
-            buf, (0, 0, offset, 0), (n_layers, kvh, tree_size, head_dim))
+            buf, (0, 0, offset, 0), (n_layers, kvh, tree_size, last))
         new = jnp.einsum("ts,lksd->lktd", sel, window.astype(jnp.float32),
-                         preferred_element_type=jnp.float32).astype(buf.dtype)
+                         preferred_element_type=jnp.float32)
+        if buf.dtype == jnp.int8:
+            new = jnp.round(new)  # exact one-hot select; round guards fp noise
+        new = new.astype(buf.dtype)
         return lax.dynamic_update_slice(buf, new, (0, 0, offset, 0))
 
-    return KVCache(k=compact(kv.k), v=compact(kv.v))
+    return KVCache(k=compact(kv.k), v=compact(kv.v),
+                   k_scale=compact(kv.k_scale), v_scale=compact(kv.v_scale))

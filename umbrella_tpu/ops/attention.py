@@ -39,6 +39,8 @@ def attend(
     kv_limit=None,  # scalar upper bound on live kv slots (enables DMA clamping)
     scale: Optional[float] = None,
     logits_soft_cap: float = 0.0,
+    k_scale: Optional[jnp.ndarray] = None,  # [KVH, L, 1] — int8 KV cache mode
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Backend-dispatching attention; semantics of attend_dense."""
     use_flash = ATTN_BACKEND == "flash" or (ATTN_BACKEND == "auto" and _flash_available())
@@ -49,7 +51,11 @@ def attend(
         groups = H // k_cache.shape[0]
         block_k = 512 if S * groups <= 512 else 256
         return attend_flash(q, k_cache, v_cache, mask, kv_limit, scale=scale,
-                            soft_cap=logits_soft_cap, block_k=block_k)
+                            soft_cap=logits_soft_cap, block_k=block_k,
+                            k_scale=k_scale, v_scale=v_scale)
+    if k_scale is not None:
+        k_cache = (k_cache.astype(jnp.float32) * k_scale).astype(q.dtype)
+        v_cache = (v_cache.astype(jnp.float32) * v_scale).astype(q.dtype)
     return attend_dense(q, k_cache, v_cache, mask, scale=scale,
                         logits_soft_cap=logits_soft_cap)
 

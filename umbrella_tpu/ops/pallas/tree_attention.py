@@ -81,6 +81,51 @@ def _flash_kernel(nb_ref, q_ref, k_ref, v_ref, mask_ref, out_ref,
         out_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(out_ref.dtype)
 
 
+def _flash_kernel_q(nb_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref, out_ref,
+                    m_ref, l_ref, acc_ref, *, scale: float, soft_cap: float,
+                    groups: int, bk: int):
+    """int8-KV variant: dequantizes each (bk, D) block in VMEM with its per-slot
+    scales before the flash update — HBM traffic stays int8."""
+    j = pl.program_id(1)
+    num_needed = _scalar(nb_ref)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j < num_needed)
+    def _():
+        q = q_ref[0]  # [SG, D]
+        k = (k_ref[0].astype(jnp.int32).astype(jnp.float32) * ks_ref[0]).astype(q.dtype)
+        v = (v_ref[0].astype(jnp.int32).astype(jnp.float32) * vs_ref[0]).astype(q.dtype)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = s * scale
+        if soft_cap > 0.0:
+            s = soft_cap * jnp.tanh(s / soft_cap)
+        mask = mask_ref[:]  # [S, bk] bool
+        S = mask.shape[0]
+        mask_sg = jnp.broadcast_to(mask[:, None, :], (S, groups, bk)).reshape(S * groups, bk)
+        s = jnp.where(mask_sg, s, NEG_INF)
+
+        m_prev = m_ref[:]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        out_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(out_ref.dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "soft_cap", "block_k", "interpret"))
 def attend_flash(
@@ -93,6 +138,8 @@ def attend_flash(
     soft_cap: float = 0.0,
     block_k: int = 512,
     interpret: bool = False,
+    k_scale: jnp.ndarray | None = None,  # [KVH, L, 1] — int8 KV mode
+    v_scale: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     S, H, D = q.shape
     KVH, L, _ = k_cache.shape
@@ -109,35 +156,48 @@ def attend_flash(
 
     num_needed = jnp.asarray([jnp.minimum((kv_limit + bk - 1) // bk, nK)], jnp.int32)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(KVH, nK),
-        in_specs=[
-            pl.BlockSpec((1, SG, D), lambda h, j, nb: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, D),
-                         lambda h, j, nb: (h, jnp.minimum(j, _scalar(nb) - 1), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, D),
-                         lambda h, j, nb: (h, jnp.minimum(j, _scalar(nb) - 1), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, bk), lambda h, j, nb: (0, jnp.minimum(j, _scalar(nb) - 1)),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, SG, D), lambda h, j, nb: (h, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((SG, 1), jnp.float32),
-            pltpu.VMEM((SG, 1), jnp.float32),
-            pltpu.VMEM((SG, D), jnp.float32),
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=float(scale), soft_cap=float(soft_cap),
-                          groups=groups, bk=bk),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((KVH, SG, D), q.dtype),
-        interpret=interpret,
-    )(num_needed, qg, k_cache, v_cache, mask)
+    q_spec = pl.BlockSpec((1, SG, D), lambda h, j, nb: (h, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, bk, D),
+                           lambda h, j, nb: (h, jnp.minimum(j, _scalar(nb) - 1), 0),
+                           memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((1, bk, 1),
+                           lambda h, j, nb: (h, jnp.minimum(j, _scalar(nb) - 1), 0),
+                           memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((S, bk), lambda h, j, nb: (0, jnp.minimum(j, _scalar(nb) - 1)),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, SG, D), lambda h, j, nb: (h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((SG, 1), jnp.float32),
+        pltpu.VMEM((SG, 1), jnp.float32),
+        pltpu.VMEM((SG, D), jnp.float32),
+    ]
+    quantized = k_scale is not None
+    if quantized:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(KVH, nK),
+            in_specs=[q_spec, kv_spec, kv_spec, sc_spec, sc_spec, mask_spec],
+            out_specs=out_spec, scratch_shapes=scratch)
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel_q, scale=float(scale),
+                              soft_cap=float(soft_cap), groups=groups, bk=bk),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((KVH, SG, D), q.dtype),
+            interpret=interpret,
+        )(num_needed, qg, k_cache, v_cache, k_scale.astype(jnp.float32),
+          v_scale.astype(jnp.float32), mask)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(KVH, nK),
+            in_specs=[q_spec, kv_spec, kv_spec, mask_spec],
+            out_specs=out_spec, scratch_shapes=scratch)
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel, scale=float(scale), soft_cap=float(soft_cap),
+                              groups=groups, bk=bk),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((KVH, SG, D), q.dtype),
+            interpret=interpret,
+        )(num_needed, qg, k_cache, v_cache, mask)
 
     return out.reshape(KVH, S, groups, D).transpose(1, 0, 2, 3).reshape(S, H, D)

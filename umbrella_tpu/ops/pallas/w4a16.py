@@ -26,12 +26,14 @@ def _w4a16_kernel(x_ref, w8_ref, scales_ref, zeros_ref, out_ref, *, group_size: 
     k2 = w8_ref.shape[0]  # packed rows = K/2
     g2 = scales_ref.shape[0] // 2  # groups covering the low half
 
-    w8 = w8_ref[:]
-    lo = (w8 & 0xF).astype(jnp.bfloat16)
-    hi = (w8 >> 4).astype(jnp.bfloat16)
+    # int8-packed nibbles; Mosaic legalizes int32 shifts/masks (not uint8), and
+    # (x >> 4) & 0xF is sign-safe on two's-complement int32
+    w32 = w8_ref[:].astype(jnp.int32)
+    lo = (w32 & 0xF).astype(jnp.float32)
+    hi = ((w32 >> 4) & 0xF).astype(jnp.float32)
 
-    s = scales_ref[:].astype(jnp.bfloat16)
-    z = zeros_ref[:].astype(jnp.bfloat16)
+    s = scales_ref[:].astype(jnp.float32)
+    z = zeros_ref[:].astype(jnp.float32)
     bn = s.shape[-1]
 
     def expand(a):  # [g2, bn] per-group -> [k2, bn] per-row (np.repeat semantics)
@@ -40,8 +42,8 @@ def _w4a16_kernel(x_ref, w8_ref, scales_ref, zeros_ref, out_ref, *, group_size: 
     s_lo, z_lo = expand(s[:g2]), expand(z[:g2])
     s_hi, z_hi = expand(s[g2:]), expand(z[g2:])
 
-    w_lo = (lo - z_lo) * s_lo
-    w_hi = (hi - z_hi) * s_hi
+    w_lo = ((lo - z_lo) * s_lo).astype(jnp.bfloat16)
+    w_hi = ((hi - z_hi) * s_hi).astype(jnp.bfloat16)
 
     x = x_ref[:]
     x_lo = x[:, :k2].astype(jnp.bfloat16)

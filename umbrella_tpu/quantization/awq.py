@@ -62,7 +62,7 @@ def pack_awq_numpy(int_weights: np.ndarray, int_zeros: np.ndarray, bits: int = 4
 
 class AwqTensor(NamedTuple):
     """Split-halves packed W4 linear weight (logical shape [K, N])."""
-    w8: jnp.ndarray  # uint8 [K/2, N]
+    w8: jnp.ndarray  # int8 [K/2, N] (two nibbles; int8 because Mosaic lacks u8 shifts)
     scales: jnp.ndarray  # [K/g, N]
     zeros: jnp.ndarray  # [K/g, N] (same dtype as scales)
 
@@ -86,7 +86,7 @@ def pack_tpu_layout(int_weights: np.ndarray, int_zeros: np.ndarray,
     assert K % 2 == 0
     lo = int_weights[: K // 2].astype(np.uint8)
     hi = int_weights[K // 2 :].astype(np.uint8)
-    w8 = (lo | (hi << 4)).astype(np.uint8)
+    w8 = (lo | (hi << 4)).astype(np.uint8).view(np.int8)
     return AwqTensor(
         w8=jnp.asarray(w8),
         scales=jnp.asarray(scales).astype(dtype),
@@ -116,8 +116,9 @@ def quantize_matrix(w: np.ndarray, group_size: int = 128):
 def dequantize(q: AwqTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Full dequant to [K, N] dtype (the many-token path; XLA fuses into the matmul)."""
     g = q.group_size
-    lo = (q.w8 & 0xF).astype(dtype)
-    hi = (q.w8 >> 4).astype(dtype)
+    w32 = q.w8.astype(jnp.int32)
+    lo = (w32 & 0xF).astype(dtype)
+    hi = ((w32 >> 4) & 0xF).astype(dtype)
     w = jnp.concatenate([lo, hi], axis=-2)  # [K, N] original row order
     scales = jnp.repeat(q.scales, g, axis=-2)
     zeros = jnp.repeat(q.zeros, g, axis=-2)
@@ -165,7 +166,7 @@ def awq_from_hf_tensors(qweight: np.ndarray, qzeros: np.ndarray, scales: np.ndar
     zeros = unpack_zeros_native(qzeros)
     if w8 is not None and zeros is not None:
         return AwqTensor(
-            w8=jnp.asarray(w8),
+            w8=jnp.asarray(w8.view(np.int8)),
             scales=jnp.asarray(scales.astype(np.float32)).astype(dtype),
             zeros=jnp.asarray(zeros).astype(dtype),
         )

@@ -53,6 +53,7 @@ class SpecEngineBase(BaseEngine):
         self.tokenizer = kwargs.pop("tokenizer", None)
         self.eos_token_ids = kwargs.pop("eos_token_ids", None)
         self.seed = kwargs.pop("seed", 0)
+        self.kv_dtype = kwargs.pop("kv_dtype", None)  # None => model dtype; "int8" quantizes
         self.config = kwargs
 
     # ------------------------------------------------------------ model setup
@@ -79,8 +80,8 @@ class SpecEngineBase(BaseEngine):
 
         self.tokens_host = np.zeros(self.max_length, np.int32)
         self.tokens = jnp.zeros(self.max_length, jnp.int32)
-        self.kv_draft = self.draft_model.init_kv()
-        self.kv_target = self.target_model.init_kv()
+        self.kv_draft = self.draft_model.init_kv(kv_dtype=self.kv_dtype)
+        self.kv_target = self.target_model.init_kv(kv_dtype=self.kv_dtype)
         self.num_nodes = 0
         self._key = jax.random.PRNGKey(self.seed)
         self._build_prefill_phase()
@@ -278,8 +279,8 @@ class SpecEngineBase(BaseEngine):
         self.num_nodes = 0
         self.tokens_host[:] = 0
         self.tokens = jnp.zeros(self.max_length, jnp.int32)
-        self.kv_draft = self.draft_model.init_kv()
-        self.kv_target = self.target_model.init_kv()
+        self.kv_draft = self.draft_model.init_kv(kv_dtype=self.kv_dtype)
+        self.kv_target = self.target_model.init_kv(kv_dtype=self.kv_dtype)
 
     # ------------------------------------------------------------ decode loops
 
