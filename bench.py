@@ -76,6 +76,52 @@ def main():
     step_ms = 1000 * dt / steps
     baseline = 100.7  # RTX 4090, Llama3.1-8B + 1B draft, MT-Bench (BASELINE.md)
 
+    # ---- secondary: 8B-AWQ-shape target + 1B-shape draft (real W4A16 kernels) ----
+    awq_detail = {}
+    try:
+        import gc
+
+        from umbrella_tpu.models.auto_model import random_awq_runtime
+
+        del eng
+        gc.collect()
+        awq_cfg = ModelConfig(
+            vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+            num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=8,
+            rope_theta=500000.0, max_position_embeddings=max_len,
+            tie_word_embeddings=False, eos_token_id=-100,
+        )
+        awq_target = random_awq_runtime(awq_cfg, max_len, dtype=jnp.bfloat16, seed=2)
+        # CodeDrafter-500M-shape draft (reference's 8B-AWQ code-completion rows)
+        draft_500m_cfg = ModelConfig(
+            vocab_size=128256, hidden_size=1536, intermediate_size=4096,
+            num_hidden_layers=12, num_attention_heads=12, num_key_value_heads=12,
+            rope_theta=500000.0, max_position_embeddings=max_len,
+            tie_word_embeddings=True, eos_token_id=-100,
+        )
+        draft_500m = random_runtime(draft_500m_cfg, max_len, dtype=jnp.bfloat16, seed=3)
+        eng2 = StaticEngine(
+            draft_model_name=draft_500m, target_model_name=awq_target,
+            dtype=jnp.bfloat16, growmap=gm, max_length=max_len,
+            eos_token_ids=[-100], temperature=0.0)
+        eng2.initialize()
+        assert eng2._prefill(prompt)
+        eng2._decode_fused(8)  # warmup/compile
+        eng2.reset()
+        assert eng2._prefill(prompt)
+        s2 = eng2.num_nodes
+        jax.block_until_ready(eng2.tokens)
+        t0 = time.time()
+        steps2 = eng2._decode_fused(128)
+        dt2 = time.time() - t0
+        dec2 = eng2.num_nodes - s2 + 1
+        awq_detail = {
+            "awq8b_tokens_per_sec": round(dec2 / dt2, 2),
+            "awq8b_decode_step_ms": round(1000 * dt2 / steps2, 2),
+        }
+    except Exception as e:  # keep the primary metric even if the 8B run fails
+        awq_detail = {"awq8b_error": f"{type(e).__name__}: {e}"[:200]}
+
     result = {
         "metric": "spec_decode_tokens_per_sec_1b_target_68m_draft_greedy",
         "value": round(toks_per_sec, 2),
@@ -88,6 +134,7 @@ def main():
             "avg_accept_tokens": round(dec_len / steps, 2),
             "tree": "sequoia-5x6 (31 nodes)",
             "note": "random weights => acceptance floor ~1/step; value is a lower bound",
+            **awq_detail,
         },
     }
     print(json.dumps(result))
