@@ -153,3 +153,22 @@ def test_sample_top_k_top_p_respects_filters():
     top4 = np.asarray(jax.lax.top_k(logits, 4)[1])
     for i, t in enumerate(np.asarray(toks)):
         assert t in top4[i]
+
+
+def test_embed_lookup_matches_gather():
+    from umbrella_tpu.ops.select import embed_lookup, embed_lookup_onehot, take_vec
+
+    rng = np.random.default_rng(7)
+    emb = jnp.asarray(rng.standard_normal((997, 64)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 997, 13), jnp.int32)
+    ref = np.asarray(emb)[np.asarray(ids)]
+    np.testing.assert_allclose(np.asarray(embed_lookup(emb, ids)), ref, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(embed_lookup_onehot(emb, ids)), ref, rtol=1e-6)
+
+
+def test_take_vec_and_scalar():
+    from umbrella_tpu.ops.select import take_scalar, take_vec
+
+    v = jnp.asarray([5, 9, 2, 7], jnp.int32)
+    np.testing.assert_array_equal(np.asarray(take_vec(v, jnp.asarray([3, 0, 0]))), [7, 5, 5])
+    assert int(take_scalar(v, jnp.int32(2))) == 2

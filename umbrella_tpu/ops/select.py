@@ -44,7 +44,26 @@ def take_scalar(vec: jnp.ndarray, i) -> jnp.ndarray:
 
 
 def embed_lookup(embed: jnp.ndarray, input_ids: jnp.ndarray, dtype=None) -> jnp.ndarray:
-    """embed[input_ids] — one-hot matmul over the vocab (MXU; exact)."""
+    """embed[input_ids] without a gather: one dynamic_slice per token.
+
+    A one-hot matmul would read the WHOLE [V, H] table per call (~0.5GB for a 1B
+    model); the slice loop reads exactly S rows. dynamic_slice is on the runtime's
+    safe-op list (gathers and closure constants are not — see module docstring).
+    """
+    S = input_ids.shape[0]
+    V, H = embed.shape
+    dtype = dtype or embed.dtype
+
+    def body(i, out):
+        row_id = lax.dynamic_slice(input_ids, (i,), (1,))[0]
+        row = lax.dynamic_slice(embed, (row_id, 0), (1, H))
+        return lax.dynamic_update_slice(out, row.astype(dtype), (i, 0))
+
+    return lax.fori_loop(0, S, body, jnp.zeros((S, H), dtype))
+
+
+def embed_lookup_onehot(embed: jnp.ndarray, input_ids: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """One-hot matmul variant (reads the full table; kept for comparison/tests)."""
     V, H = embed.shape
     dtype = dtype or embed.dtype
     sel = onehot(input_ids, V, embed.dtype)
