@@ -63,9 +63,11 @@ def main():
 
     # timed run — entire loop is ONE dispatch (fused lax.while_loop)
     eng.reset()
+    t_pf = time.time()
     assert eng._prefill(prompt)
-    start = eng.num_nodes
     jax.block_until_ready(eng.tokens)
+    ttft_ms = 1000 * (time.time() - t_pf)  # prefill(128) + first-token emit
+    start = eng.num_nodes
     t0 = time.time()
     steps = eng._decode_fused(192)
     jax.block_until_ready(eng.tokens)
@@ -131,6 +133,7 @@ def main():
             "platform": platform,
             "steps": steps,
             "decode_step_ms": round(step_ms, 2),
+            "ttft_ms_prefill128": round(ttft_ms, 2),
             "avg_accept_tokens": round(dec_len / steps, 2),
             "tree": "sequoia-5x6 (31 nodes)",
             "note": "random weights => acceptance floor ~1/step; value is a lower bound",
