@@ -88,7 +88,8 @@ def main():
     dp = args.dp or max(len(jax.devices()) // args.tp, 1)
     mesh = make_mesh(model=args.tp, data=dp)
     params = shard_params(
-        init_llama_params(cfg, jax.random.PRNGKey(0), args.seq_len, jnp.bfloat16), mesh)
+        init_llama_params(cfg, jax.random.PRNGKey(0), args.seq_len, jnp.bfloat16,
+                          packed=(args.tp == 1)), mesh)
     margs = StaticModelArgs.from_config(cfg)
     optimizer = make_optimizer(lr=args.lr, total_steps=args.steps)
     state = init_train_state(params, optimizer)

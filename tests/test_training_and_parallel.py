@@ -26,7 +26,7 @@ def _cfg(model_axis):
 
 def test_train_step_reduces_loss_single_device():
     cfg = _cfg(2)
-    params = init_llama_params(cfg, jax.random.PRNGKey(0), MAX_LEN, jnp.float32)
+    params = init_llama_params(cfg, jax.random.PRNGKey(0), MAX_LEN, jnp.float32, packed=False)
     args = StaticModelArgs.from_config(cfg)
     opt = make_optimizer(lr=1e-2, total_steps=30)
     state = init_train_state(params, opt)
@@ -44,7 +44,7 @@ def test_tp_dp_sharded_train_step():
     mesh = make_mesh(model=4, data=2)
     cfg = _cfg(4)
     params = shard_params(
-        init_llama_params(cfg, jax.random.PRNGKey(0), MAX_LEN, jnp.float32), mesh)
+        init_llama_params(cfg, jax.random.PRNGKey(0), MAX_LEN, jnp.float32, packed=False), mesh)
     args = StaticModelArgs.from_config(cfg)
     opt = make_optimizer(total_steps=10)
     state = init_train_state(params, opt)
@@ -63,7 +63,7 @@ def test_tp_sharded_inference_matches_replicated():
     """TP-sharded target produces the same greedy tokens as unsharded."""
     mesh = make_mesh(model=4, data=1)
     cfg = _cfg(4)
-    base = init_llama_params(cfg, jax.random.PRNGKey(1), MAX_LEN, jnp.float32)
+    base = init_llama_params(cfg, jax.random.PRNGKey(1), MAX_LEN, jnp.float32, packed=False)
 
     def build_engine(params, tp):
         target = ModelRuntime(cfg, params, MAX_LEN, dtype=jnp.float32)
@@ -72,7 +72,7 @@ def test_tp_sharded_inference_matches_replicated():
             orig = target.init_kv
             target.init_kv = lambda *a, **k: shard_kv(orig(*a, **k), mesh)
         draft = ModelRuntime(
-            cfg, init_llama_params(cfg, jax.random.PRNGKey(2), MAX_LEN, jnp.float32),
+            cfg, init_llama_params(cfg, jax.random.PRNGKey(2), MAX_LEN, jnp.float32, packed=False),
             MAX_LEN, dtype=jnp.float32)
         eng = StaticEngine(
             draft_model_name=draft, target_model_name=target, dtype=jnp.float32,

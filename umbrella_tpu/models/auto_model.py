@@ -211,8 +211,8 @@ def random_awq_runtime(
     layers = {
         "input_norm": jnp.ones((n, H), dtype),
         "post_norm": jnp.ones((n, H), dtype),
-        "wq": q(H, Hq), "wk": q(H, KV), "wv": q(H, KV), "wo": q(Hq, H),
-        "gate": q(H, I), "up": q(H, I), "down": q(I, H),
+        "wqkv": q(H, Hq + 2 * KV), "wo": q(Hq, H),
+        "gate_up": q(H, 2 * I), "down": q(I, H),
     }
     params = {
         "embed": jnp.asarray(

@@ -68,6 +68,27 @@ def _linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     return y
 
 
+def _attn_projections(args: StaticModelArgs, lw: dict, hidden):
+    """q/k/v activations; supports packed ("wqkv", like the reference's
+    LlamaPackedLayer, ref llama.py:475-478) and unpacked layouts."""
+    Hq = args.num_heads * args.head_dim
+    KV = args.num_kv_heads * args.head_dim
+    if "wqkv" in lw:
+        qkv = _linear(hidden, lw["wqkv"], lw.get("bqkv"))
+        return qkv[..., :Hq], qkv[..., Hq:Hq + KV], qkv[..., Hq + KV:]
+    return (_linear(hidden, lw["wq"], lw.get("bq")),
+            _linear(hidden, lw["wk"], lw.get("bk")),
+            _linear(hidden, lw["wv"], lw.get("bv")))
+
+
+def _mlp_gate_up(lw: dict, hidden):
+    if "gate_up" in lw:
+        gu = _linear(hidden, lw["gate_up"])
+        half = gu.shape[-1] // 2
+        return gu[..., :half], gu[..., half:]
+    return _linear(hidden, lw["gate"]), _linear(hidden, lw["up"])
+
+
 def llama_attention(
     args: StaticModelArgs,
     lw: dict,  # single-layer weights (no leading layer dim)
@@ -82,9 +103,10 @@ def llama_attention(
 ) -> Tuple[jnp.ndarray, KVCache]:
     S = hidden.shape[0]
     D = args.head_dim
-    q = _linear(hidden, lw["wq"], lw.get("bq")).reshape(S, args.num_heads, D)
-    k = _linear(hidden, lw["wk"], lw.get("bk")).reshape(S, args.num_kv_heads, D)
-    v = _linear(hidden, lw["wv"], lw.get("bv")).reshape(S, args.num_kv_heads, D)
+    q, k, v = _attn_projections(args, lw, hidden)
+    q = q.reshape(S, args.num_heads, D)
+    k = k.reshape(S, args.num_kv_heads, D)
+    v = v.reshape(S, args.num_kv_heads, D)
     q, k = apply_rope(q, k, inv_freq, rope_scale, position_ids)
 
     kv = update_layer(kv, layer_idx, k, v, write_offset)
@@ -120,8 +142,7 @@ def llama_layer(
     hidden = residual + attn_out
     residual = hidden
     hidden = rms_norm(hidden, lw["post_norm"], args.rms_eps)
-    gate = _linear(hidden, lw["gate"])
-    up = _linear(hidden, lw["up"])
+    gate, up = _mlp_gate_up(lw, hidden)
     hidden = _linear(jax.nn.silu(gate) * up, lw["down"])
     return residual + hidden, kv
 
@@ -163,9 +184,13 @@ def llama_forward(
 
 def init_llama_params(
     cfg: ModelConfig, key: jax.Array, max_length: int, dtype=jnp.bfloat16,
-    n_layers: Optional[int] = None,
+    n_layers: Optional[int] = None, packed: bool = True,
 ) -> dict:
-    """Random-init params (tiny-model tests; real weights come from models/weights.py)."""
+    """Random-init params (tiny-model tests; real weights come from models/weights.py).
+
+    packed=True fuses QKV and gate|up projections (fewer matmul launches); TP
+    sharding requires packed=False (column shards would straddle section bounds).
+    """
     n = n_layers if n_layers is not None else cfg.num_hidden_layers
     H, D = cfg.hidden_size, cfg.resolved_head_dim
     Hq = cfg.num_attention_heads * D
@@ -179,18 +204,24 @@ def init_llama_params(
     layers = {
         "input_norm": jnp.ones((n, H), dtype),
         "post_norm": jnp.ones((n, H), dtype),
-        "wq": w(next(keys), (n, H, Hq)),
-        "wk": w(next(keys), (n, H, KV)),
-        "wv": w(next(keys), (n, H, KV)),
         "wo": w(next(keys), (n, Hq, H)),
-        "gate": w(next(keys), (n, H, I)),
-        "up": w(next(keys), (n, H, I)),
         "down": w(next(keys), (n, I, H)),
     }
-    if cfg.attention_bias:
-        layers["bq"] = jnp.zeros((n, Hq), dtype)
-        layers["bk"] = jnp.zeros((n, KV), dtype)
-        layers["bv"] = jnp.zeros((n, KV), dtype)
+    if packed:
+        layers["wqkv"] = w(next(keys), (n, H, Hq + 2 * KV))
+        layers["gate_up"] = w(next(keys), (n, H, 2 * I))
+        if cfg.attention_bias:
+            layers["bqkv"] = jnp.zeros((n, Hq + 2 * KV), dtype)
+    else:
+        layers["wq"] = w(next(keys), (n, H, Hq))
+        layers["wk"] = w(next(keys), (n, H, KV))
+        layers["wv"] = w(next(keys), (n, H, KV))
+        layers["gate"] = w(next(keys), (n, H, I))
+        layers["up"] = w(next(keys), (n, H, I))
+        if cfg.attention_bias:
+            layers["bq"] = jnp.zeros((n, Hq), dtype)
+            layers["bk"] = jnp.zeros((n, KV), dtype)
+            layers["bv"] = jnp.zeros((n, KV), dtype)
 
     params = {
         "embed": w(next(keys), (V, H)),

@@ -54,6 +54,7 @@ def load_llama_params(
     max_length: int,
     dtype=jnp.bfloat16,
     n_layers: Optional[int] = None,
+    packed: bool = True,
 ) -> dict:
     """Build the llama-family param pytree from an HF (non-quantized) checkpoint.
 
@@ -61,7 +62,8 @@ def load_llama_params(
     quantization/awq.py instead.
     """
     sd = _load_state_dict_np(path)
-    return params_from_hf_state_dict(sd, cfg, max_length, dtype, n_layers=n_layers)
+    return params_from_hf_state_dict(sd, cfg, max_length, dtype, n_layers=n_layers,
+                                     packed=packed)
 
 
 def params_from_hf_state_dict(
@@ -70,6 +72,7 @@ def params_from_hf_state_dict(
     max_length: int,
     dtype=jnp.bfloat16,
     n_layers: Optional[int] = None,
+    packed: bool = True,
 ) -> dict:
     n = n_layers if n_layers is not None else cfg.num_hidden_layers
     P = "model."
@@ -84,24 +87,45 @@ def params_from_hf_state_dict(
         # HF stores [out, in]; we want [layer, in, out]
         return _to_jnp(np.stack([get(fmt.format(i)).T for i in range(n)]), dtype)
 
+    def stack_packed(fmts):
+        return _to_jnp(np.stack([
+            np.concatenate([get(f.format(i)).T for f in fmts], axis=-1)
+            for i in range(n)]), dtype)
+
     def stack_vec(fmt):
         return _to_jnp(np.stack([get(fmt.format(i)) for i in range(n)]), dtype)
+
+    def stack_vec_packed(fmts):
+        return _to_jnp(np.stack([
+            np.concatenate([get(f.format(i)) for f in fmts], axis=-1)
+            for i in range(n)]), dtype)
 
     layers = {
         "input_norm": stack_vec(P + "layers.{}.input_layernorm.weight"),
         "post_norm": stack_vec(P + "layers.{}.post_attention_layernorm.weight"),
-        "wq": stack_linear(P + "layers.{}.self_attn.q_proj.weight"),
-        "wk": stack_linear(P + "layers.{}.self_attn.k_proj.weight"),
-        "wv": stack_linear(P + "layers.{}.self_attn.v_proj.weight"),
         "wo": stack_linear(P + "layers.{}.self_attn.o_proj.weight"),
-        "gate": stack_linear(P + "layers.{}.mlp.gate_proj.weight"),
-        "up": stack_linear(P + "layers.{}.mlp.up_proj.weight"),
         "down": stack_linear(P + "layers.{}.mlp.down_proj.weight"),
     }
-    if P + "layers.0.self_attn.q_proj.bias" in sd:
-        layers["bq"] = stack_vec(P + "layers.{}.self_attn.q_proj.bias")
-        layers["bk"] = stack_vec(P + "layers.{}.self_attn.k_proj.bias")
-        layers["bv"] = stack_vec(P + "layers.{}.self_attn.v_proj.bias")
+    qkv_fmts = [P + "layers.{}.self_attn.q_proj.weight",
+                P + "layers.{}.self_attn.k_proj.weight",
+                P + "layers.{}.self_attn.v_proj.weight"]
+    gu_fmts = [P + "layers.{}.mlp.gate_proj.weight", P + "layers.{}.mlp.up_proj.weight"]
+    has_bias = P + "layers.0.self_attn.q_proj.bias" in sd
+    if packed:
+        layers["wqkv"] = stack_packed(qkv_fmts)
+        layers["gate_up"] = stack_packed(gu_fmts)
+        if has_bias:
+            layers["bqkv"] = stack_vec_packed([
+                P + "layers.{}.self_attn.q_proj.bias",
+                P + "layers.{}.self_attn.k_proj.bias",
+                P + "layers.{}.self_attn.v_proj.bias"])
+    else:
+        layers["wq"], layers["wk"], layers["wv"] = (stack_linear(f) for f in qkv_fmts)
+        layers["gate"], layers["up"] = (stack_linear(f) for f in gu_fmts)
+        if has_bias:
+            layers["bq"] = stack_vec(P + "layers.{}.self_attn.q_proj.bias")
+            layers["bk"] = stack_vec(P + "layers.{}.self_attn.k_proj.bias")
+            layers["bv"] = stack_vec(P + "layers.{}.self_attn.v_proj.bias")
 
     params = {
         "embed": _to_jnp(get(P + "embed_tokens.weight"), dtype),

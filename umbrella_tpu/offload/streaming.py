@@ -51,18 +51,19 @@ def _fp_layer_from_sd(sd, i: int, np_dtype) -> dict:
     d = {
         "input_norm": get("input_layernorm.weight").astype(np_dtype),
         "post_norm": get("post_attention_layernorm.weight").astype(np_dtype),
-        "wq": get("self_attn.q_proj.weight").T.astype(np_dtype),
-        "wk": get("self_attn.k_proj.weight").T.astype(np_dtype),
-        "wv": get("self_attn.v_proj.weight").T.astype(np_dtype),
+        "wqkv": np.concatenate([
+            get("self_attn.q_proj.weight").T, get("self_attn.k_proj.weight").T,
+            get("self_attn.v_proj.weight").T], axis=-1).astype(np_dtype),
         "wo": get("self_attn.o_proj.weight").T.astype(np_dtype),
-        "gate": get("mlp.gate_proj.weight").T.astype(np_dtype),
-        "up": get("mlp.up_proj.weight").T.astype(np_dtype),
+        "gate_up": np.concatenate([
+            get("mlp.gate_proj.weight").T, get("mlp.up_proj.weight").T,
+        ], axis=-1).astype(np_dtype),
         "down": get("mlp.down_proj.weight").T.astype(np_dtype),
     }
     if P + "self_attn.q_proj.bias" in sd:
-        d["bq"] = get("self_attn.q_proj.bias").astype(np_dtype)
-        d["bk"] = get("self_attn.k_proj.bias").astype(np_dtype)
-        d["bv"] = get("self_attn.v_proj.bias").astype(np_dtype)
+        d["bqkv"] = np.concatenate([
+            get("self_attn.q_proj.bias"), get("self_attn.k_proj.bias"),
+            get("self_attn.v_proj.bias")], axis=-1).astype(np_dtype)
     return d
 
 
@@ -79,17 +80,24 @@ def _awq_layer_from_sd(sd, i: int, dtype) -> dict:
         # keep host-side as numpy for pinned-host storage
         return type(t)(*(np.asarray(x) for x in t))
 
+    from ..quantization.awq import concat_awq
+
+    def qc(ts):
+        t = concat_awq(ts)
+        return type(t)(*(np.asarray(x) for x in t))
+
     d = {
         "input_norm": fp("input_layernorm.weight"),
         "post_norm": fp("post_attention_layernorm.weight"),
-        "wq": q("self_attn.q_proj"), "wk": q("self_attn.k_proj"),
-        "wv": q("self_attn.v_proj"), "wo": q("self_attn.o_proj"),
-        "gate": q("mlp.gate_proj"), "up": q("mlp.up_proj"), "down": q("mlp.down_proj"),
+        "wqkv": qc([q("self_attn.q_proj"), q("self_attn.k_proj"), q("self_attn.v_proj")]),
+        "wo": q("self_attn.o_proj"),
+        "gate_up": qc([q("mlp.gate_proj"), q("mlp.up_proj")]),
+        "down": q("mlp.down_proj"),
     }
     if P + "self_attn.q_proj.bias" in sd:
-        d["bq"] = fp("self_attn.q_proj.bias")
-        d["bk"] = fp("self_attn.k_proj.bias")
-        d["bv"] = fp("self_attn.v_proj.bias")
+        d["bqkv"] = np.concatenate([
+            fp("self_attn.q_proj.bias"), fp("self_attn.k_proj.bias"),
+            fp("self_attn.v_proj.bias")], axis=-1)
     return d
 
 

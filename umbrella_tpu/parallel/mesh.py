@@ -35,6 +35,10 @@ def make_mesh(model: int = 1, data: int = 1, devices=None) -> Mesh:
 
 def llama_param_specs(params: dict) -> dict:
     """PartitionSpec pytree matching the llama-family param pytree."""
+    if "wqkv" in params["layers"]:
+        raise ValueError(
+            "packed (wqkv/gate_up) params cannot be tensor-sharded — column shards "
+            "would straddle section boundaries; load with packed=False for TP")
     layer_specs = {
         "input_norm": P(), "post_norm": P(),
         "wq": P(None, None, "model"),

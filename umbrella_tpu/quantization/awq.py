@@ -152,6 +152,16 @@ def awq_matmul(x: jnp.ndarray, q: AwqTensor, bias: Optional[jnp.ndarray] = None,
     return y
 
 
+def concat_awq(tensors) -> "AwqTensor":
+    """Concatenate AwqTensors along the output (N) axis (same K/group_size) —
+    used to pack QKV / gate|up into one kernel call."""
+    return AwqTensor(
+        w8=jnp.concatenate([t.w8 for t in tensors], axis=-1),
+        scales=jnp.concatenate([t.scales for t in tensors], axis=-1),
+        zeros=jnp.concatenate([t.zeros for t in tensors], axis=-1),
+    )
+
+
 def awq_from_hf_tensors(qweight: np.ndarray, qzeros: np.ndarray, scales: np.ndarray,
                         dtype=jnp.bfloat16) -> AwqTensor:
     """HF AutoAWQ GEMM tensors -> TPU split-halves layout.

@@ -18,7 +18,7 @@ import numpy as np
 from ..config import ModelConfig
 from ..models.weights import _load_state_dict_np, _to_jnp
 from ..ops.rope import rope_params
-from .awq import AwqTensor, awq_from_hf_tensors, pack_tpu_layout, quantize_matrix
+from .awq import AwqTensor, awq_from_hf_tensors, concat_awq, pack_tpu_layout, quantize_matrix
 
 
 def _stack_awq(tensors) -> AwqTensor:
@@ -31,7 +31,7 @@ def _stack_awq(tensors) -> AwqTensor:
 
 def awq_params_from_hf_state_dict(
     sd: Dict[str, np.ndarray], cfg: ModelConfig, max_length: int,
-    dtype=jnp.bfloat16, n_layers: Optional[int] = None,
+    dtype=jnp.bfloat16, n_layers: Optional[int] = None, packed: bool = True,
 ) -> dict:
     n = n_layers if n_layers is not None else cfg.num_hidden_layers
     P = "model."
@@ -40,33 +40,48 @@ def awq_params_from_hf_state_dict(
         a = sd[name]
         return a.astype(np.float32) if a.dtype == np.float16 else a
 
+    def q_one(i, fmt):
+        base = fmt.format(i)
+        return awq_from_hf_tensors(
+            sd[base + ".qweight"], sd[base + ".qzeros"], fp(base + ".scales"),
+            dtype=dtype)
+
     def q_linear(fmt):
-        ts = []
-        for i in range(n):
-            base = fmt.format(i)
-            ts.append(awq_from_hf_tensors(
-                sd[base + ".qweight"], sd[base + ".qzeros"],
-                fp(base + ".scales"), dtype=dtype))
-        return _stack_awq(ts)
+        return _stack_awq([q_one(i, fmt) for i in range(n)])
+
+    def q_packed(fmts):
+        return _stack_awq([concat_awq([q_one(i, f) for f in fmts]) for i in range(n)])
 
     def stack_vec(fmt):
         return _to_jnp(np.stack([fp(fmt.format(i)) for i in range(n)]), dtype)
 
+    def stack_vec_packed(fmts):
+        return _to_jnp(np.stack([
+            np.concatenate([fp(f.format(i)) for f in fmts], axis=-1)
+            for i in range(n)]), dtype)
+
     layers = {
         "input_norm": stack_vec(P + "layers.{}.input_layernorm.weight"),
         "post_norm": stack_vec(P + "layers.{}.post_attention_layernorm.weight"),
-        "wq": q_linear(P + "layers.{}.self_attn.q_proj"),
-        "wk": q_linear(P + "layers.{}.self_attn.k_proj"),
-        "wv": q_linear(P + "layers.{}.self_attn.v_proj"),
         "wo": q_linear(P + "layers.{}.self_attn.o_proj"),
-        "gate": q_linear(P + "layers.{}.mlp.gate_proj"),
-        "up": q_linear(P + "layers.{}.mlp.up_proj"),
         "down": q_linear(P + "layers.{}.mlp.down_proj"),
     }
-    if P + "layers.0.self_attn.q_proj.bias" in sd:
-        layers["bq"] = stack_vec(P + "layers.{}.self_attn.q_proj.bias")
-        layers["bk"] = stack_vec(P + "layers.{}.self_attn.k_proj.bias")
-        layers["bv"] = stack_vec(P + "layers.{}.self_attn.v_proj.bias")
+    qkv_fmts = [P + "layers.{}.self_attn.q_proj", P + "layers.{}.self_attn.k_proj",
+                P + "layers.{}.self_attn.v_proj"]
+    gu_fmts = [P + "layers.{}.mlp.gate_proj", P + "layers.{}.mlp.up_proj"]
+    has_bias = P + "layers.0.self_attn.q_proj.bias" in sd
+    if packed:
+        layers["wqkv"] = q_packed(qkv_fmts)
+        layers["gate_up"] = q_packed(gu_fmts)
+        if has_bias:
+            layers["bqkv"] = stack_vec_packed([f + ".bias" for f in qkv_fmts])
+    else:
+        layers["wq"], layers["wk"], layers["wv"] = (q_linear(f) for f in qkv_fmts)
+        layers["gate"], layers["up"] = (q_linear(f) for f in gu_fmts)
+        if has_bias:
+            layers["bq"] = stack_vec(qkv_fmts[0] + ".bias")
+            layers["bk"] = stack_vec(qkv_fmts[1] + ".bias")
+            layers["bv"] = stack_vec(qkv_fmts[2] + ".bias")
 
     params = {
         "embed": _to_jnp(fp(P + "embed_tokens.weight"), dtype),
@@ -98,10 +113,13 @@ def load_awq_runtime(path: str, cfg: ModelConfig, max_length: int, dtype=jnp.bfl
 
 
 def quantize_params(params: dict, group_size: int = 128, dtype=jnp.bfloat16) -> dict:
-    """AWQ-quantize an fp llama-family param pytree in place (linear weights only)."""
+    """AWQ-quantize an fp llama-family param pytree (linear weights only; handles
+    both packed and unpacked layouts)."""
     out_layers = dict(params["layers"])
     n = params["layers"]["input_norm"].shape[0]
-    for name in ("wq", "wk", "wv", "wo", "gate", "up", "down"):
+    names = [k for k in ("wq", "wk", "wv", "wo", "gate", "up", "down",
+                         "wqkv", "gate_up") if k in params["layers"]]
+    for name in names:
         stacked = np.asarray(params["layers"][name], np.float32)
         ts = []
         for i in range(n):

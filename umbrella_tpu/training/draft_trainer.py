@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import ModelConfig
-from ..models.llama import StaticModelArgs, _linear
+from ..models.llama import StaticModelArgs, _attn_projections, _linear, _mlp_gate_up
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope
 
@@ -25,9 +25,10 @@ def _batched_layer(args: StaticModelArgs, lw: dict, hidden, inv_freq, rope_scale
     D = args.head_dim
     residual = hidden
     x = rms_norm(hidden, lw["input_norm"], args.rms_eps)
-    q = _linear(x, lw["wq"], lw.get("bq")).reshape(B, S, args.num_heads, D)
-    k = _linear(x, lw["wk"], lw.get("bk")).reshape(B, S, args.num_kv_heads, D)
-    v = _linear(x, lw["wv"], lw.get("bv")).reshape(B, S, args.num_kv_heads, D)
+    q, k, v = _attn_projections(args, lw, x)
+    q = q.reshape(B, S, args.num_heads, D)
+    k = k.reshape(B, S, args.num_kv_heads, D)
+    v = v.reshape(B, S, args.num_kv_heads, D)
     q, k = jax.vmap(lambda qq, kk: apply_rope(qq, kk, inv_freq, rope_scale, positions))(q, k)
 
     groups = args.num_heads // args.num_kv_heads
@@ -41,7 +42,8 @@ def _batched_layer(args: StaticModelArgs, lw: dict, hidden, inv_freq, rope_scale
 
     residual = hidden
     x = rms_norm(hidden, lw["post_norm"], args.rms_eps)
-    mlp = _linear(jax.nn.silu(_linear(x, lw["gate"])) * _linear(x, lw["up"]), lw["down"])
+    gate, up = _mlp_gate_up(lw, x)
+    mlp = _linear(jax.nn.silu(gate) * up, lw["down"])
     return residual + mlp
 
 
