@@ -93,7 +93,6 @@ class SpecEngineBase(BaseEngine):
         d_fwd = self.draft_model.forward
         t_fused = self.target_model.supports_fused_phases
         t_fwd = self.target_model.forward if t_fused else None
-        eos_arr = self._eos_arr
         ban_eos = self.ban_eos_at_prefill
 
         def emit_token(logits_row, tokens, start, n_valid, eos):
