@@ -153,3 +153,21 @@ def test_sequoia_builder_schema():
     # branch totals must equal next level sizes
     for lvl in range(gm.num_levels - 1):
         assert gm.total_branch(lvl) == len(gm.roots[lvl + 1])
+
+
+def test_generate_stream_yields_progressively(runtimes):
+    target, draft = runtimes
+
+    class _Tok:
+        def encode(self, text):
+            return [1] + [ord(c) % 90 + 2 for c in text][:12]
+
+        def decode(self, ids, **kw):
+            return " ".join(str(i) for i in ids)
+
+    eng = _make_engine(target, draft, tokenizer=_Tok())
+    outputs = list(eng.generate_stream(context="hello world test", max_new_tokens=24))
+    assert len(outputs) >= 1
+    final_text, perf = outputs[-1]
+    assert "TPOT" in perf and len(final_text) > 0
+    assert eng.num_nodes == 0  # reset at end

@@ -91,3 +91,22 @@ def test_tp_sharded_inference_matches_replicated():
             eng.verify()
         results.append(eng.tokens_host[start : eng.num_nodes].tolist())
     assert results[0] == results[1]
+
+
+def test_sp_sharded_train_step():
+    """dp x tp x sp: sequence axis of activations constrained over the model axis."""
+    mesh = make_mesh(model=4, data=2)
+    cfg = _cfg(4)
+    params = shard_params(
+        init_llama_params(cfg, jax.random.PRNGKey(0), MAX_LEN, jnp.float32, packed=False), mesh)
+    args = StaticModelArgs.from_config(cfg)
+    opt = make_optimizer(total_steps=10)
+    state = init_train_state(params, opt)
+    step = jax.jit(make_train_step(args, opt, sequence_parallel=True),
+                   donate_argnums=(0,))
+    batch = jax.device_put(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (4, 32)).astype(np.int32),
+        NamedSharding(mesh, P("data", None)))
+    with mesh:
+        state, loss = step(state, batch)
+    assert np.isfinite(float(loss))

@@ -47,8 +47,14 @@ def _batched_layer(args: StaticModelArgs, lw: dict, hidden, inv_freq, rope_scale
     return residual + mlp
 
 
-def train_forward(params: dict, args: StaticModelArgs, input_ids: jnp.ndarray) -> jnp.ndarray:
-    """Causal forward over [B, S] -> fp32 logits [B, S, V] (no cache)."""
+def train_forward(params: dict, args: StaticModelArgs, input_ids: jnp.ndarray,
+                  sequence_parallel: bool = False) -> jnp.ndarray:
+    """Causal forward over [B, S] -> fp32 logits [B, S, V] (no cache).
+
+    sequence_parallel=True adds sharding constraints that split the SEQUENCE axis of
+    activations over the 'model' mesh axis between attention blocks (norm/MLP are
+    token-local) — the SP layout on top of dp x tp.
+    """
     B, S = input_ids.shape
     inv_freq, rope_scale = params["rope_inv_freq"], params["rope_scale"]
     positions = jnp.arange(S)
@@ -58,8 +64,16 @@ def train_forward(params: dict, args: StaticModelArgs, input_ids: jnp.ndarray) -
     hidden = jax.vmap(lambda ids: embed_lookup(params["embed"], ids,
                                                params["final_norm"].dtype))(input_ids)
 
+    def sp(x):
+        if not sequence_parallel:
+            return x
+        from jax.sharding import PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(x, P("data", "model", None))
+
     def body(hidden, lw):
-        return _batched_layer(args, lw, hidden, inv_freq, rope_scale, positions, mask), None
+        out = _batched_layer(args, lw, sp(hidden), inv_freq, rope_scale, positions, mask)
+        return sp(out), None
 
     hidden, _ = jax.lax.scan(body, hidden, params["layers"])
     hidden = rms_norm(hidden, params["final_norm"], args.rms_eps)
@@ -70,8 +84,8 @@ def train_forward(params: dict, args: StaticModelArgs, input_ids: jnp.ndarray) -
     return jnp.dot(hidden, head, preferred_element_type=jnp.float32)
 
 
-def causal_lm_loss(params, args, input_ids, loss_mask=None):
-    logits = train_forward(params, args, input_ids)
+def causal_lm_loss(params, args, input_ids, loss_mask=None, sequence_parallel=False):
+    logits = train_forward(params, args, input_ids, sequence_parallel=sequence_parallel)
     targets = input_ids[:, 1:]
     logits = logits[:, :-1]
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -95,9 +109,10 @@ def make_optimizer(lr: float = 3e-4, total_steps: int = 10000,
     return optax.adamw(sched, b1=0.9, b2=0.95, weight_decay=weight_decay)
 
 
-def make_train_step(args: StaticModelArgs, optimizer):
+def make_train_step(args: StaticModelArgs, optimizer, sequence_parallel: bool = False):
     def train_step(state: TrainState, input_ids) -> Tuple[TrainState, jnp.ndarray]:
-        loss, grads = jax.value_and_grad(causal_lm_loss)(state.params, args, input_ids)
+        loss, grads = jax.value_and_grad(causal_lm_loss)(
+            state.params, args, input_ids, sequence_parallel=sequence_parallel)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
