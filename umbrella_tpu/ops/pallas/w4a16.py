@@ -69,7 +69,12 @@ def _pick_bn(n: int) -> int:
 
 
 def _pick_bk2(k2: int, group_size: int) -> int:
-    # keep fp32 dequant temporaries ~<= 4MB per half at bn=512
+    # swept on v5e: bk2=2048/bn=512 is fastest that still fits the fp32 dequant
+    # temporaries (2 x bk2 x bn x 4B ~= 8MB) in VMEM; scale blocks need >= 8 sublanes
+    # so bk2 >= 8*group_size
+    for bk2 in (2048, 1024, 512, 256, 128):
+        if k2 % bk2 == 0 and bk2 % group_size == 0 and bk2 // group_size >= 8:
+            return bk2
     for bk2 in (1024, 512, 256, 128):
         if k2 % bk2 == 0 and bk2 % group_size == 0:
             return bk2
@@ -77,8 +82,9 @@ def _pick_bk2(k2: int, group_size: int) -> int:
     return k2
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def w4a16_matmul(x: jnp.ndarray, q, interpret: bool = False) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("interpret", "block_n", "block_k2"))
+def w4a16_matmul(x: jnp.ndarray, q, interpret: bool = False,
+                 block_n: int | None = None, block_k2: int | None = None) -> jnp.ndarray:
     """x [S, K] @ split-halves W4 [K, N] -> [S, N] in x.dtype (fp32 accumulation)."""
     S, K = x.shape
     K2, N = q.w8.shape
@@ -92,8 +98,9 @@ def w4a16_matmul(x: jnp.ndarray, q, interpret: bool = False) -> jnp.ndarray:
     if S_pad != S:
         x = jnp.pad(x, ((0, S_pad - S), (0, 0)))
 
-    bn = _pick_bn(N)
-    bk2 = _pick_bk2(K2, group_size)
+    bn = block_n if block_n is not None else _pick_bn(N)
+    bk2 = block_k2 if block_k2 is not None else _pick_bk2(K2, group_size)
+    assert N % bn == 0 and K2 % bk2 == 0 and bk2 % group_size == 0
     n_k = K2 // bk2
     bg = bk2 // group_size
     x_lo, x_hi = x[:, :K2], x[:, K2:]
