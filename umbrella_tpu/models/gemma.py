@@ -67,15 +67,9 @@ def gemma2_layer(args: GemmaStaticArgs, lw: dict, hidden, kv: KVCache, layer_idx
     v = _linear(x, lw["wv"]).reshape(S, args.num_kv_heads, D)
     q, k = apply_rope(q, k, inv_freq, rope_scale, position_ids)
     kv = update_layer(kv, layer_idx, k, v, write_offset)
-    k_cache = lax.dynamic_index_in_dim(kv.k, layer_idx, axis=0, keepdims=False)
-    v_cache = lax.dynamic_index_in_dim(kv.v, layer_idx, axis=0, keepdims=False)
-    k_scale = v_scale = None
-    if kv.quantized:
-        k_scale = lax.dynamic_index_in_dim(kv.k_scale, layer_idx, axis=0, keepdims=False)
-        v_scale = lax.dynamic_index_in_dim(kv.v_scale, layer_idx, axis=0, keepdims=False)
-    out = attend(q, k_cache, v_cache, mask, kv_limit=write_offset + S,
+    out = attend(q, kv.k, kv.v, mask, kv_limit=write_offset + S,
                  scale=args.attn_scale, logits_soft_cap=args.attn_softcap,
-                 k_scale=k_scale, v_scale=v_scale)
+                 k_scale=kv.k_scale, v_scale=kv.v_scale, layer_idx=layer_idx)
     out = _linear(out.reshape(S, args.num_heads * D), lw["wo"])
     out = gemma_rms_norm(out, lw["post_attn_norm"], args.rms_eps)
     hidden = residual + out

@@ -110,14 +110,8 @@ def llama_attention(
     q, k = apply_rope(q, k, inv_freq, rope_scale, position_ids)
 
     kv = update_layer(kv, layer_idx, k, v, write_offset)
-    k_cache = lax.dynamic_index_in_dim(kv.k, layer_idx, axis=0, keepdims=False)
-    v_cache = lax.dynamic_index_in_dim(kv.v, layer_idx, axis=0, keepdims=False)
-    k_scale = v_scale = None
-    if kv.quantized:
-        k_scale = lax.dynamic_index_in_dim(kv.k_scale, layer_idx, axis=0, keepdims=False)
-        v_scale = lax.dynamic_index_in_dim(kv.v_scale, layer_idx, axis=0, keepdims=False)
-    out = attend(q, k_cache, v_cache, attn_mask, kv_limit=write_offset + S,
-                 k_scale=k_scale, v_scale=v_scale)
+    out = attend(q, kv.k, kv.v, attn_mask, kv_limit=write_offset + S,
+                 k_scale=kv.k_scale, v_scale=kv.v_scale, layer_idx=layer_idx)
     return _linear(out.reshape(S, args.num_heads * D), lw["wo"]), kv
 
 

@@ -33,26 +33,39 @@ def _flash_available() -> bool:
 
 def attend(
     q: jnp.ndarray,
-    k_cache: jnp.ndarray,
+    k_cache: jnp.ndarray,  # [KVH, L, D], or the FULL [n, KVH, L, D] cache + layer_idx
     v_cache: jnp.ndarray,
     mask: jnp.ndarray,
     kv_limit=None,  # scalar upper bound on live kv slots (enables DMA clamping)
     scale: Optional[float] = None,
     logits_soft_cap: float = 0.0,
-    k_scale: Optional[jnp.ndarray] = None,  # [KVH, L, 1] — int8 KV cache mode
+    k_scale: Optional[jnp.ndarray] = None,  # [(n,) KVH, L, 1] — int8 KV cache mode
     v_scale: Optional[jnp.ndarray] = None,
+    layer_idx=None,  # with 4-D caches: the flash kernel indexes the layer itself,
+                     # avoiding an XLA dynamic-slice copy of the layer's KV per call
 ) -> jnp.ndarray:
     """Backend-dispatching attention; semantics of attend_dense."""
+    from jax import lax
+
+    layered = k_cache.ndim == 4
+    L = k_cache.shape[-2]
     use_flash = ATTN_BACKEND == "flash" or (ATTN_BACKEND == "auto" and _flash_available())
-    if use_flash and kv_limit is not None and k_cache.shape[1] % 256 == 0:
+    if use_flash and kv_limit is not None and L % 256 == 0:
         from .pallas.tree_attention import attend_flash
 
         S, H, D = q.shape
-        groups = H // k_cache.shape[0]
+        groups = H // k_cache.shape[-3]
         block_k = 512 if S * groups <= 512 else 256
         return attend_flash(q, k_cache, v_cache, mask, kv_limit, scale=scale,
                             soft_cap=logits_soft_cap, block_k=block_k,
-                            k_scale=k_scale, v_scale=v_scale)
+                            k_scale=k_scale, v_scale=v_scale,
+                            layer_idx=layer_idx if layered else None)
+    if layered:
+        k_cache = lax.dynamic_index_in_dim(k_cache, layer_idx, axis=0, keepdims=False)
+        v_cache = lax.dynamic_index_in_dim(v_cache, layer_idx, axis=0, keepdims=False)
+        if k_scale is not None:
+            k_scale = lax.dynamic_index_in_dim(k_scale, layer_idx, axis=0, keepdims=False)
+            v_scale = lax.dynamic_index_in_dim(v_scale, layer_idx, axis=0, keepdims=False)
     if k_scale is not None:
         k_cache = (k_cache.astype(jnp.float32) * k_scale).astype(q.dtype)
         v_cache = (v_cache.astype(jnp.float32) * v_scale).astype(q.dtype)

@@ -30,17 +30,17 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _scalar(nb):
-    """Scalar-prefetch arg: a (1,)-shaped SMEM ref in compiled mode, 0-d in interpret."""
+def _scalar(nb, i=0):
+    """Scalar-prefetch element: an SMEM ref in compiled mode, array in interpret."""
     try:
-        return nb[0]
+        return nb[i]
     except (TypeError, IndexError):
         return nb
 
 
 def _flash_kernel(nb_ref, q_ref, k_ref, v_ref, mask_ref, out_ref,
                   m_ref, l_ref, acc_ref, *, scale: float, soft_cap: float,
-                  groups: int, bk: int):
+                  groups: int, bk: int, layered: bool = False):
     j = pl.program_id(1)
     num_needed = _scalar(nb_ref)
 
@@ -53,8 +53,8 @@ def _flash_kernel(nb_ref, q_ref, k_ref, v_ref, mask_ref, out_ref,
     @pl.when(j < num_needed)
     def _():
         q = q_ref[0]  # [SG, D]
-        k = k_ref[0]  # [bk, D]
-        v = v_ref[0]
+        k = k_ref[0][0] if layered else k_ref[0]  # [bk, D]
+        v = v_ref[0][0] if layered else v_ref[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         s = s * scale
@@ -83,7 +83,7 @@ def _flash_kernel(nb_ref, q_ref, k_ref, v_ref, mask_ref, out_ref,
 
 def _flash_kernel_q(nb_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref, out_ref,
                     m_ref, l_ref, acc_ref, *, scale: float, soft_cap: float,
-                    groups: int, bk: int):
+                    groups: int, bk: int, layered: bool = False):
     """int8-KV variant: dequantizes each (bk, D) block in VMEM with its per-slot
     scales before the flash update — HBM traffic stays int8."""
     j = pl.program_id(1)
@@ -98,8 +98,12 @@ def _flash_kernel_q(nb_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref, out_r
     @pl.when(j < num_needed)
     def _():
         q = q_ref[0]  # [SG, D]
-        k = (k_ref[0].astype(jnp.int32).astype(jnp.float32) * ks_ref[0]).astype(q.dtype)
-        v = (v_ref[0].astype(jnp.int32).astype(jnp.float32) * vs_ref[0]).astype(q.dtype)
+        kr = k_ref[0][0] if layered else k_ref[0]
+        vr = v_ref[0][0] if layered else v_ref[0]
+        ksr = ks_ref[0][0] if layered else ks_ref[0]
+        vsr = vs_ref[0][0] if layered else vs_ref[0]
+        k = (kr.astype(jnp.int32).astype(jnp.float32) * ksr).astype(q.dtype)
+        v = (vr.astype(jnp.int32).astype(jnp.float32) * vsr).astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         s = s * scale
@@ -130,7 +134,7 @@ def _flash_kernel_q(nb_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref, out_r
     jax.jit, static_argnames=("scale", "soft_cap", "block_k", "interpret"))
 def attend_flash(
     q: jnp.ndarray,  # [S, H, D]
-    k_cache: jnp.ndarray,  # [KVH, L, D] head-major
+    k_cache: jnp.ndarray,  # [KVH, L, D] head-major, or [n_layers, KVH, L, D] + layer_idx
     v_cache: jnp.ndarray,
     mask: jnp.ndarray,  # [S, L] bool
     kv_limit,  # scalar — exclusive upper bound on live kv slots
@@ -138,11 +142,17 @@ def attend_flash(
     soft_cap: float = 0.0,
     block_k: int = 512,
     interpret: bool = False,
-    k_scale: jnp.ndarray | None = None,  # [KVH, L, 1] — int8 KV mode
+    k_scale: jnp.ndarray | None = None,  # [(n,) KVH, L, 1] — int8 KV mode
     v_scale: jnp.ndarray | None = None,
+    layer_idx=None,  # scalar — index into 4-D caches (avoids an XLA slice copy)
 ) -> jnp.ndarray:
     S, H, D = q.shape
-    KVH, L, _ = k_cache.shape
+    layered = k_cache.ndim == 4
+    if layered:
+        assert layer_idx is not None
+        _n_layers, KVH, L, _ = k_cache.shape
+    else:
+        KVH, L, _ = k_cache.shape
     groups = H // KVH
     if scale is None:
         scale = 1.0 / float(np.sqrt(D))
@@ -154,16 +164,32 @@ def attend_flash(
     # q rows grouped by kv head: [KVH, S*groups, D]
     qg = q.reshape(S, KVH, groups, D).transpose(1, 0, 2, 3).reshape(KVH, SG, D)
 
-    num_needed = jnp.asarray([jnp.minimum((kv_limit + bk - 1) // bk, nK)], jnp.int32)
+    # scalar prefetch: [0] = number of live kv blocks, [1] = layer index
+    num_needed = jnp.minimum((kv_limit + bk - 1) // bk, nK)
+    scalars = jnp.stack([num_needed.astype(jnp.int32),
+                         (jnp.int32(0) if layer_idx is None
+                          else jnp.asarray(layer_idx, jnp.int32))])
 
     q_spec = pl.BlockSpec((1, SG, D), lambda h, j, nb: (h, 0, 0),
                           memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, bk, D),
-                           lambda h, j, nb: (h, jnp.minimum(j, _scalar(nb) - 1), 0),
-                           memory_space=pltpu.VMEM)
-    sc_spec = pl.BlockSpec((1, bk, 1),
-                           lambda h, j, nb: (h, jnp.minimum(j, _scalar(nb) - 1), 0),
-                           memory_space=pltpu.VMEM)
+    if layered:
+        kv_spec = pl.BlockSpec(
+            (1, 1, bk, D),
+            lambda h, j, nb: (_scalar(nb, 1), h, jnp.minimum(j, _scalar(nb) - 1), 0),
+            memory_space=pltpu.VMEM)
+        sc_spec = pl.BlockSpec(
+            (1, 1, bk, 1),
+            lambda h, j, nb: (_scalar(nb, 1), h, jnp.minimum(j, _scalar(nb) - 1), 0),
+            memory_space=pltpu.VMEM)
+    else:
+        kv_spec = pl.BlockSpec(
+            (1, bk, D),
+            lambda h, j, nb: (h, jnp.minimum(j, _scalar(nb) - 1), 0),
+            memory_space=pltpu.VMEM)
+        sc_spec = pl.BlockSpec(
+            (1, bk, 1),
+            lambda h, j, nb: (h, jnp.minimum(j, _scalar(nb) - 1), 0),
+            memory_space=pltpu.VMEM)
     mask_spec = pl.BlockSpec((S, bk), lambda h, j, nb: (0, jnp.minimum(j, _scalar(nb) - 1)),
                              memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, SG, D), lambda h, j, nb: (h, 0, 0),
@@ -174,18 +200,20 @@ def attend_flash(
         pltpu.VMEM((SG, D), jnp.float32),
     ]
     quantized = k_scale is not None
+    kern = functools.partial(
+        (_flash_kernel_q if quantized else _flash_kernel),
+        scale=float(scale), soft_cap=float(soft_cap), groups=groups, bk=bk,
+        layered=layered)
     if quantized:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(KVH, nK),
             in_specs=[q_spec, kv_spec, kv_spec, sc_spec, sc_spec, mask_spec],
             out_specs=out_spec, scratch_shapes=scratch)
         out = pl.pallas_call(
-            functools.partial(_flash_kernel_q, scale=float(scale),
-                              soft_cap=float(soft_cap), groups=groups, bk=bk),
-            grid_spec=grid_spec,
+            kern, grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((KVH, SG, D), q.dtype),
             interpret=interpret,
-        )(num_needed, qg, k_cache, v_cache, k_scale.astype(jnp.float32),
+        )(scalars, qg, k_cache, v_cache, k_scale.astype(jnp.float32),
           v_scale.astype(jnp.float32), mask)
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -193,11 +221,9 @@ def attend_flash(
             in_specs=[q_spec, kv_spec, kv_spec, mask_spec],
             out_specs=out_spec, scratch_shapes=scratch)
         out = pl.pallas_call(
-            functools.partial(_flash_kernel, scale=float(scale), soft_cap=float(soft_cap),
-                              groups=groups, bk=bk),
-            grid_spec=grid_spec,
+            kern, grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((KVH, SG, D), q.dtype),
             interpret=interpret,
-        )(num_needed, qg, k_cache, v_cache, mask)
+        )(scalars, qg, k_cache, v_cache, mask)
 
     return out.reshape(KVH, S, groups, D).transpose(1, 0, 2, 3).reshape(S, H, D)
