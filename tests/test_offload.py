@@ -8,6 +8,7 @@ from umbrella_tpu.models.auto_model import random_runtime
 from umbrella_tpu.offload.streaming import OffloadModelRuntime
 from umbrella_tpu.ops.masks import causal_mask_rows
 from umbrella_tpu.sequoia import growmap_from_spec
+from umbrella_tpu.speculation.dynamic_engine import DynamicEngine
 from umbrella_tpu.speculation.static_engine import StaticEngine
 
 from test_static_engine import MAX_LEN, _cfg, _greedy_ar_decode
@@ -52,6 +53,68 @@ def test_offload_target_spec_decode_lossless(resident):
     for _ in range(4):
         eng.build_tree()
         eng.verify()
+    produced = eng.tokens_host[start : eng.num_nodes + 1].tolist()
+    oracle = _greedy_ar_decode(resident, prompt, len(produced))
+    assert produced == oracle[: len(produced)]
+
+
+def test_dynamic_offload_pipelined_generate_lossless(resident):
+    """Dynamic beam-tree engine over an offload target (pipelined loop threads the
+    per-step bitmap/parents through the gated tail)."""
+    off = OffloadModelRuntime.from_params(
+        resident.params, resident.cfg, MAX_LEN, dtype=jnp.float32)
+    draft = random_runtime(_cfg(), MAX_LEN, seed=1)
+    eng = DynamicEngine(
+        draft_model_name=draft, target_model_name=off, dtype=jnp.float32,
+        width=4, num_beams=4, depth=3, max_length=MAX_LEN, safe_buffer=32,
+        eos_token_ids=[-1])
+    eng.initialize()
+    prompt = [1, 17, 42, 9]
+    out = eng.generate(input_ids=prompt, max_new_tokens=8)
+    produced = out["generated_tokens"]
+    assert len(produced) >= 8
+    oracle = _greedy_ar_decode(resident, prompt, len(produced))
+    assert produced == oracle[: len(produced)]
+
+
+def test_offload_pipelined_generate_lossless(resident):
+    """generate() on an offload target uses the device-resident pipelined loop
+    (one in-flight step ahead, no per-step host sync); output must still be
+    token-identical with the AR oracle, and the trailing no-op step must not
+    corrupt host/device state."""
+    off = OffloadModelRuntime.from_params(
+        resident.params, resident.cfg, MAX_LEN, dtype=jnp.float32)
+    draft = random_runtime(_cfg(), MAX_LEN, seed=1)
+    eng = StaticEngine(
+        draft_model_name=draft, target_model_name=off, dtype=jnp.float32,
+        growmap=growmap_from_spec(3, 4), max_length=MAX_LEN, safe_buffer=32,
+        eos_token_ids=[-1])
+    eng.initialize()
+    prompt = [1, 17, 42, 9]
+    out = eng.generate(input_ids=prompt, max_new_tokens=12)
+    produced = out["generated_tokens"]
+    assert len(produced) >= 12
+    oracle = _greedy_ar_decode(resident, prompt, len(produced))
+    assert produced == oracle[: len(produced)]
+    assert out["avg_accept_tokens"] >= 1.0
+
+
+def test_offload_pipelined_stream_loop_lossless(resident):
+    """speculative_decoding (the _decode_segments streaming loop) over an offload
+    target goes through the pipelined path with the per-commit host callback."""
+    off = OffloadModelRuntime.from_params(
+        resident.params, resident.cfg, MAX_LEN, dtype=jnp.float32)
+    draft = random_runtime(_cfg(), MAX_LEN, seed=1)
+    eng = StaticEngine(
+        draft_model_name=draft, target_model_name=off, dtype=jnp.float32,
+        growmap=growmap_from_spec(3, 4), max_length=MAX_LEN, safe_buffer=32,
+        eos_token_ids=[-1], stop_distance=4)
+    eng.initialize()
+    prompt = [1, 17, 42, 9]
+    assert eng._prefill(np.asarray(prompt))
+    start = eng.num_nodes
+    dec_len, elapsed, steps = eng.speculative_decoding(max_new_tokens=10)
+    assert steps >= 1 and dec_len >= 2
     produced = eng.tokens_host[start : eng.num_nodes + 1].tolist()
     oracle = _greedy_ar_decode(resident, prompt, len(produced))
     assert produced == oracle[: len(produced)]

@@ -161,6 +161,37 @@ class DynamicEngine(SpecEngineBase):
 
         self._prepare_verify = jax.jit(prepare_verify_fn)
 
+        # gated verify tail for the pipelined offload loop (see static engine for
+        # the no-op-when-~cont argument; dynamic trees additionally thread the
+        # freshly built bitmap/parents through as traced values)
+        cap_gate = self.max_length - self.safe_buffer
+
+        def gated_tail_fn(logits, kv_t, kv_d, tokens, bitmap, parents, num_nodes,
+                          cont, start, max_new, key, temperature, topp, penalty,
+                          consts, *, greedy, topk, use_pen):
+            (tokens, kv_t, kv_d, nn_new, alen, eos_found, block) = verify_tail(
+                logits, kv_t, kv_d, tokens, num_nodes, key, temperature, topp,
+                penalty, bitmap, parents, consts["node_in_path"], consts["eos"],
+                tree_size=tree_size, greedy=greedy, topk=topk, use_pen=use_pen)
+            nn_out = jnp.where(cont, nn_new, num_nodes)
+            alen_out = jnp.where(cont, alen, 0)
+            cont_out = (cont & ~eos_found & ((nn_out - start) < max_new)
+                        & (nn_out <= cap_gate))
+            return tokens, kv_t, kv_d, nn_out, cont_out, alen_out, block
+
+        self._gated_tail_cache = {}
+
+        def get_gated_tail(greedy, topk, use_pen):
+            k = (greedy, topk, use_pen)
+            if k not in self._gated_tail_cache:
+                self._gated_tail_cache[k] = jax.jit(
+                    functools.partial(gated_tail_fn, greedy=greedy, topk=topk,
+                                      use_pen=use_pen),
+                    donate_argnums=(1, 2, 3))
+            return self._gated_tail_cache[k]
+
+        self._get_gated_tail = get_gated_tail
+
         # fully fused decode loop — one dispatch per request (see static engine)
         cap = self.max_length - self.safe_buffer
 
@@ -215,6 +246,24 @@ class DynamicEngine(SpecEngineBase):
          self._tree_parents) = self._build_tree_jit(
             self.draft_model.params, self.kv_draft, self.tokens,
             jnp.int32(self.num_nodes), self._consts)
+
+    def _offload_step(self, nn, cont, start, max_new):
+        """One fully device-resident build+stream+verify step (offload targets)."""
+        greedy = self.temperature < 0.05
+        use_pen = self.repetition_penalty > 1.01
+        self._key, sub = jax.random.split(self._key)
+        (self.tokens, self.kv_draft, bitmap, parents) = self._build_tree_jit(
+            self.draft_model.params, self.kv_draft, self.tokens, nn, self._consts)
+        ids, pos, mask = self._prepare_verify(self.tokens, bitmap, nn, self._consts)
+        logits, self.kv_target = self.target_model.streamed_forward(
+            self.kv_target, ids, pos, mask, nn)
+        fn = self._get_gated_tail(greedy, self.topk, use_pen)
+        (self.tokens, self.kv_target, self.kv_draft, nn, cont, alen, block) = fn(
+            logits, self.kv_target, self.kv_draft, self.tokens, bitmap, parents,
+            nn, cont, start, max_new, sub,
+            jnp.float32(max(self.temperature, 1e-3)), jnp.float32(self.topp),
+            jnp.float32(self.repetition_penalty), self._consts)
+        return nn, cont, alen, block
 
     def verify(self) -> bool:
         greedy = self.temperature < 0.05

@@ -297,6 +297,23 @@ class SpecEngineBase(BaseEngine):
         start = self.num_nodes
         generated_ids = []
         fused = self._can_decode_fused()
+        if not fused and getattr(self, "_offload_step", None) is not None:
+            # pipelined offload loop: per-commit callback does the streaming/stop
+            # bookkeeping while the next step is already in flight on device
+            state = {"steps": 0}
+
+            def host_stop(alen):
+                state["steps"] += 1
+                begin = self.num_nodes - alen
+                generated_ids.extend(self.tokens_host[begin : self.num_nodes].tolist())
+                last_words = on_progress(generated_ids, time.time() - t1, state["steps"])
+                return (is_sentence_complete_regex(last_words)
+                        and (self.num_nodes - start >= max_new_tokens - self.stop_distance)) \
+                    or (self.num_nodes - start >= max_new_tokens)
+
+            large_model_step = self._decode_offload_pipelined(max_new_tokens, host_stop)
+            jax.block_until_ready(self.tokens)
+            return self.num_nodes - start + 1, time.time() - t1, large_model_step
         while decode and self.validate_status():
             begin = self.num_nodes
             if fused:
@@ -385,6 +402,49 @@ class SpecEngineBase(BaseEngine):
         self.tokens_host[:] = np.asarray(self.tokens)
         return max(int(stats_np[1]), 1)
 
+    def _decode_offload_pipelined(self, max_new_tokens: int, host_stop=None) -> int:
+        """Decode loop for layer-streamed (offload) targets with DEVICE-RESIDENT
+        num_nodes/cont state: Python runs one step ahead of the TPU, so step k+1's
+        host->HBM layer streams and dispatches overlap step k's tail compute. One
+        small download (accept_len, block, cont) per step, always one step behind
+        the dispatch frontier — the host never stalls the stream pipeline.
+
+        The in-flight step after a stop is a gated no-op on device (see the
+        engines' gated_tail_fn), so host and device state stay consistent.
+        host_stop(committed_new_tokens) may return True to stop early (streaming
+        regex stop); returns committed large-model step count.
+        """
+        start = self.num_nodes
+        nn = jnp.int32(start)
+        cont = jnp.bool_(True)
+        start_dev = jnp.int32(start)
+        max_new_dev = jnp.int32(max_new_tokens)
+        pending = None
+        steps = 0
+        while True:
+            nn, cont, alen, block = self._offload_step(nn, cont, start_dev, max_new_dev)
+            if pending is not None:
+                steps += 1
+                if self._commit_pending(pending, host_stop):
+                    return steps
+            pending = (alen, block, cont)
+
+    def _commit_pending(self, pending, host_stop) -> bool:
+        """Download one completed step's (accept_len, block, cont); sync host token
+        state. Returns True when decoding should stop."""
+        alen_dev, block_dev, cont_dev = pending
+        alen = int(alen_dev)  # blocks until that step (not the in-flight one) is done
+        block = np.asarray(block_dev)
+        cont = bool(cont_dev)
+        old = self.num_nodes
+        self.num_nodes = old + alen
+        end = min(old + len(block), self.max_length)
+        self.tokens_host[old:end] = block[: end - old]
+        self._last_eos_stop = not cont
+        if host_stop is not None and host_stop(alen):
+            return True
+        return not cont
+
     def generate(self, **api_args):
         self.update_generation_args(**api_args)
         ok, early = self._start_request(api_args)
@@ -399,6 +459,8 @@ class SpecEngineBase(BaseEngine):
         start = self.num_nodes
         if self._can_decode_fused():
             large_model_step = self._decode_fused(max_new_tokens)
+        elif getattr(self, "_offload_step", None) is not None:
+            large_model_step = self._decode_offload_pipelined(max_new_tokens)
         else:
             while decode and (self.num_nodes - start) < max_new_tokens and self.validate_status():
                 self.build_tree()
