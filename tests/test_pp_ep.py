@@ -1,0 +1,151 @@
+"""Pipeline parallelism (shard_map + ppermute) and expert parallelism (MoE):
+PP forward must equal the sequential forward; EP-sharded MoE must equal the
+unsharded computation; both train steps must reduce the loss."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from umbrella_tpu.config import ModelConfig
+from umbrella_tpu.models.llama import StaticModelArgs, init_llama_params
+from umbrella_tpu.models.moe import (
+    init_moe_llama_params, make_moe_train_step, moe_train_forward,
+    shard_params_ep)
+from umbrella_tpu.parallel.pipeline import (
+    make_pp_forward, make_pp_train_step, shard_params_pp)
+from umbrella_tpu.training.draft_trainer import (
+    init_train_state, make_optimizer, train_forward)
+
+
+def _cfg(n_layers=4):
+    return ModelConfig(
+        vocab_size=211, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=n_layers, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, eos_token_id=2)
+
+
+def _pp_mesh(n_stages):
+    return Mesh(np.asarray(jax.devices()[:n_stages]), ("pipe",))
+
+
+def test_pp_forward_matches_sequential():
+    cfg = _cfg(4)
+    args = StaticModelArgs.from_config(cfg)
+    params = init_llama_params(cfg, jax.random.PRNGKey(0), 128, jnp.float32,
+                               packed=False)
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (4, 16)), jnp.int32)
+    ref = train_forward(params, args, ids)
+
+    mesh = _pp_mesh(4)
+    pp_params = shard_params_pp(params, mesh)
+    fwd = jax.jit(make_pp_forward(args, mesh, n_micro=2))
+    got = fwd(pp_params, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pp_forward_more_micro_than_stages():
+    cfg = _cfg(2)
+    args = StaticModelArgs.from_config(cfg)
+    params = init_llama_params(cfg, jax.random.PRNGKey(1), 128, jnp.float32,
+                               packed=False)
+    ids = jnp.asarray(
+        np.random.default_rng(1).integers(0, cfg.vocab_size, (8, 12)), jnp.int32)
+    ref = train_forward(params, args, ids)
+    mesh = _pp_mesh(2)
+    fwd = jax.jit(make_pp_forward(args, mesh, n_micro=4))
+    got = fwd(shard_params_pp(params, mesh), ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pp_train_step_loss_decreases():
+    cfg = _cfg(4)
+    args = StaticModelArgs.from_config(cfg)
+    params = init_llama_params(cfg, jax.random.PRNGKey(2), 128, jnp.float32,
+                               packed=False)
+    mesh = _pp_mesh(4)
+    params = shard_params_pp(params, mesh)
+    opt = make_optimizer(lr=1e-2, total_steps=30)
+    state = init_train_state(params, opt)
+    step = jax.jit(make_pp_train_step(args, opt, mesh, n_micro=2),
+                   donate_argnums=(0,))
+    batch = jnp.asarray(
+        np.random.default_rng(3).integers(0, cfg.vocab_size, (4, 16)), jnp.int32)
+    state, first = step(state, batch)
+    for _ in range(12):
+        state, loss = step(state, batch)
+    assert float(loss) < float(first)
+
+
+def test_ep_sharded_moe_matches_unsharded():
+    cfg = _cfg(2)
+    args = StaticModelArgs.from_config(cfg)
+    params = init_moe_llama_params(cfg, jax.random.PRNGKey(0), n_experts=4)
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 16)), jnp.int32)
+    ref_logits, ref_aux = moe_train_forward(params, args, ids)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "expert"))
+    ep_params = shard_params_ep(params, mesh)
+    ids_sh = jax.device_put(ids, NamedSharding(mesh, P("data", None)))
+    got_logits, got_aux = jax.jit(
+        lambda p, i: moe_train_forward(p, args, i))(ep_params, ids_sh)
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(got_aux), float(ref_aux), rtol=1e-4)
+
+
+def test_moe_routing_is_topk():
+    """With one dominant router direction every token should route to <=2 experts
+    and the combine weights should be normalized."""
+    from umbrella_tpu.models.moe import moe_mlp
+
+    H, E, I = 8, 4, 16
+    key = jax.random.PRNGKey(0)
+    lw = {
+        "router": jax.random.normal(key, (H, E), jnp.float32),
+        "expert_gate": jax.random.normal(key, (E, H, I), jnp.float32) * 0.1,
+        "expert_up": jax.random.normal(key, (E, H, I), jnp.float32) * 0.1,
+        "expert_down": jax.random.normal(key, (E, I, H), jnp.float32) * 0.1,
+    }
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 5, H), jnp.float32)
+    out, aux = moe_mlp(lw, x, top_k=2)
+    assert out.shape == x.shape
+    assert float(aux) >= 1.0 - 1e-5  # >= 1 by Cauchy-Schwarz, == 1 iff balanced
+
+    # zeroing every expert's contribution except via weights: manual check that the
+    # dense combine equals explicit top-2 math
+    logits = x @ lw["router"]
+    probs = jax.nn.softmax(logits, axis=-1)
+    tv, ti = jax.lax.top_k(probs, 2)
+    tv = tv / tv.sum(-1, keepdims=True)
+    manual = jnp.zeros_like(x)
+    for kk in range(2):
+        for e in range(E):
+            sel = (ti[..., kk] == e).astype(jnp.float32)[..., None]
+            g = x @ lw["expert_gate"][e]
+            u = x @ lw["expert_up"][e]
+            y = (jax.nn.silu(g) * u) @ lw["expert_down"][e]
+            manual = manual + sel * tv[..., kk][..., None] * y
+    np.testing.assert_allclose(np.asarray(out), np.asarray(manual),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_moe_train_step_loss_decreases():
+    cfg = _cfg(2)
+    args = StaticModelArgs.from_config(cfg)
+    params = init_moe_llama_params(cfg, jax.random.PRNGKey(5), n_experts=4)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("expert",))
+    params = shard_params_ep(params, mesh)
+    opt = make_optimizer(lr=1e-2, total_steps=30)
+    state = init_train_state(params, opt)
+    step = jax.jit(make_moe_train_step(args, opt), donate_argnums=(0,))
+    batch = jnp.asarray(
+        np.random.default_rng(7).integers(0, cfg.vocab_size, (4, 16)), jnp.int32)
+    state, first = step(state, batch)
+    for _ in range(12):
+        state, loss = step(state, batch)
+    assert float(loss) < float(first)

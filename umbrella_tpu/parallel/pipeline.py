@@ -1,0 +1,140 @@
+"""GPipe-style pipeline parallelism over a `pipe` mesh axis.
+
+The reference has NO pipeline parallelism (SURVEY.md §2 parallelism inventory — its
+"pipeline" is a host->device *weight* double-buffer, `umbrella/models/llama.py:207-212`).
+This is the TPU-native axis the north star requires: contiguous layer blocks live on
+successive devices of the `pipe` axis, microbatches flow stage-to-stage with
+`lax.ppermute` inside `shard_map`, and the whole schedule (fill + steady state + drain,
+M + S - 1 ticks for M microbatches over S stages) is a single `lax.scan` — one compiled
+program, no per-stage host round trips. `jax.grad` differentiates straight through the
+ppermute rotation (its transpose is the reverse rotation), so the same schedule serves
+training.
+
+Layout: stacked layer params [n_layers, ...] are sharded P('pipe') on the layer axis —
+each stage holds n_layers/S contiguous layers. Embedding/head stay replicated (they are
+small for draft-class models; shard them over a combined axis if vocab dominates).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.llama import StaticModelArgs
+from ..training.draft_trainer import TrainState, _batched_layer
+
+
+def pp_layer_specs(params: dict) -> dict:
+    """PartitionSpec pytree: layer stacks split over 'pipe', top-level replicated."""
+    specs = {k: P() for k in params if k != "layers"}
+    specs["layers"] = {k: P("pipe") for k in params["layers"]}
+    return specs
+
+
+def shard_params_pp(params: dict, mesh: Mesh) -> dict:
+    specs = pp_layer_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
+        is_leaf=lambda x: not isinstance(x, dict))
+
+
+def make_pp_forward(args: StaticModelArgs, mesh: Mesh, n_micro: int):
+    """Returns forward(params, input_ids[B, S]) -> fp32 logits [B, S, V], computed with
+    the batch split into n_micro microbatches pipelined over the 'pipe' mesh axis."""
+    n_stages = mesh.shape["pipe"]
+
+    def stage_body(local_layers, x_mb, inv_freq, rope_scale):
+        # per-device view: local_layers [n_layers/S, ...], x_mb [M, mb, seq, H]
+        s = jax.lax.axis_index("pipe")
+        M = x_mb.shape[0]
+        seq = x_mb.shape[2]
+        positions = jax.lax.iota(jnp.int32, seq)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (seq, seq), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (seq, seq), 1)
+        mask = ci <= ri
+
+        def block(h):
+            def layer_body(hh, lw):
+                return _batched_layer(args, lw, hh, inv_freq, rope_scale,
+                                      positions, mask), None
+            h, _ = jax.lax.scan(layer_body, h, local_layers)
+            return h
+
+        # scan carries become device-varying after the first ppermute; pre-cast the
+        # zero initializers so the carry type is stable (jax>=0.9 vma typing)
+        buf = jax.lax.pcast(jnp.zeros(x_mb.shape[1:], x_mb.dtype),
+                            ("pipe",), to="varying")
+        out = jax.lax.pcast(jnp.zeros_like(x_mb), ("pipe",), to="varying")
+
+        def tick(carry, t):
+            buf, out = carry
+            inj = jax.lax.dynamic_index_in_dim(
+                x_mb, jnp.clip(t, 0, M - 1), axis=0, keepdims=False)
+            cur = jnp.where(s == 0, inj, buf)
+            cur = block(cur)
+            widx = t - (n_stages - 1)
+            upd = jax.lax.dynamic_update_slice(
+                out, cur[None].astype(out.dtype),
+                (jnp.clip(widx, 0, M - 1), 0, 0, 0))
+            write = (s == n_stages - 1) & (widx >= 0)
+            out = jnp.where(write, upd, out)
+            # rotate activations one stage forward; stage 0 receives zeros
+            nxt = jax.lax.ppermute(
+                cur, "pipe", [(i, i + 1) for i in range(n_stages - 1)])
+            return (nxt, out), None
+
+        (buf, out), _ = jax.lax.scan(
+            tick, (buf, out), jax.lax.iota(jnp.int32, M + n_stages - 1))
+        # only the last stage holds real outputs (others are zeros) — replicate
+        return jax.lax.psum(out, "pipe")
+
+    sharded_stage = jax.shard_map(
+        stage_body, mesh=mesh,
+        in_specs=(P("pipe"), P(), P(), P()), out_specs=P())
+
+    def forward(params, input_ids):
+        B, seq = input_ids.shape
+        assert B % n_micro == 0, f"n_micro={n_micro} must divide batch size {B}"
+        from ..ops.select import embed_lookup
+
+        hidden = jax.vmap(lambda ids: embed_lookup(
+            params["embed"], ids, params["final_norm"].dtype))(input_ids)
+        x_mb = hidden.reshape(n_micro, B // n_micro, seq, hidden.shape[-1])
+        y = sharded_stage(params["layers"], x_mb,
+                          params["rope_inv_freq"], params["rope_scale"])
+        hidden = y.reshape(B, seq, y.shape[-1])
+        from ..ops.norms import rms_norm
+
+        hidden = rms_norm(hidden, params["final_norm"], args.rms_eps)
+        head = params.get("lm_head")
+        if head is None:
+            return jnp.einsum("bsh,vh->bsv", hidden, params["embed"],
+                              preferred_element_type=jnp.float32)
+        return jnp.dot(hidden, head, preferred_element_type=jnp.float32)
+
+    return forward
+
+
+def make_pp_train_step(args: StaticModelArgs, optimizer, mesh: Mesh, n_micro: int):
+    """dp-free pipeline-parallel train step (combine with dp by nesting mesh axes)."""
+    forward = make_pp_forward(args, mesh, n_micro)
+
+    def loss_fn(params, input_ids):
+        logits = forward(params, input_ids)
+        targets = input_ids[:, 1:]
+        logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        return jnp.mean(nll)
+
+    def train_step(state: TrainState, input_ids) -> Tuple[TrainState, jnp.ndarray]:
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, input_ids)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        import optax
+
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
