@@ -1,0 +1,137 @@
+"""Continuous batching: the batched multi-slot engine must produce, for every slot,
+exactly the tokens the single-slot engine produces (greedy, same weights), with
+per-slot lengths and admissions/evictions interleaved."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from umbrella_tpu.models.auto_model import random_runtime
+from umbrella_tpu.models.batched import (
+    batched_llama_forward, init_batched_kv, slot_llama_forward)
+from umbrella_tpu.models.kv_cache import init_kv_cache
+from umbrella_tpu.models.llama import llama_forward
+from umbrella_tpu.ops.masks import causal_mask_rows
+from umbrella_tpu.sequoia import growmap_from_spec
+from umbrella_tpu.serving.batched_engine import BatchedStaticEngine, ContinuousBatcher
+from umbrella_tpu.speculation.static_engine import StaticEngine
+
+from test_static_engine import MAX_LEN, _cfg, _greedy_ar_decode
+
+
+@pytest.fixture(scope="module")
+def models():
+    target = random_runtime(_cfg(), MAX_LEN, seed=0)
+    draft = random_runtime(_cfg(), MAX_LEN, seed=1)
+    return draft, target
+
+
+def test_batched_forward_matches_single(models):
+    draft, target = models
+    B, S = 3, 5
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 97, (B, S)), jnp.int32)
+    offsets = jnp.asarray([0, 7, 3], jnp.int32)
+    pos = offsets[:, None] + jnp.arange(S)[None, :]
+    masks = jnp.stack([causal_mask_rows(offsets[b], S, MAX_LEN) for b in range(B)])
+
+    kv_b = init_batched_kv(target.cfg, B, MAX_LEN, jnp.float32)
+    got, kv_b = jax.jit(lambda p, kv, i, po, m, o: batched_llama_forward(
+        p, target.args, kv, i, po, m, o))(target.params, kv_b, ids, pos, masks, offsets)
+
+    for b in range(B):
+        kv = init_kv_cache(target.cfg, MAX_LEN, jnp.float32)
+        ref, _ = llama_forward(target.params, target.args, kv, ids[b], pos[b],
+                               masks[b], offsets[b])
+        np.testing.assert_allclose(np.asarray(got[b]), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_slot_forward_matches_single(models):
+    _, target = models
+    B, S = 2, 4
+    ids = jnp.asarray([5, 17, 3, 88], jnp.int32)
+    pos = jnp.arange(S)
+    mask = causal_mask_rows(0, S, MAX_LEN)
+    kv_b = init_batched_kv(target.cfg, B, MAX_LEN, jnp.float32)
+    got, kv_b = jax.jit(lambda p, kv: slot_llama_forward(
+        p, target.args, kv, ids, pos, mask, jnp.int32(1), jnp.int32(0)))(
+        target.params, kv_b)
+    kv = init_kv_cache(target.cfg, MAX_LEN, jnp.float32)
+    ref, _ = llama_forward(target.params, target.args, kv, ids, pos, mask, 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    # slot 0 KV untouched
+    assert float(jnp.abs(kv_b.k[:, 0]).sum()) == 0.0
+    assert float(jnp.abs(kv_b.k[:, 1]).sum()) > 0.0
+
+
+def _batched_engine(models, B=3):
+    draft, target = models
+    eng = BatchedStaticEngine(
+        draft_model_name=draft, target_model_name=target, batch_size=B,
+        dtype=jnp.float32, growmap=growmap_from_spec(3, 4), max_length=MAX_LEN,
+        safe_buffer=32, eos_token_ids=[-1])
+    eng.initialize()
+    return eng
+
+
+def test_batched_greedy_matches_single_slot_engines(models):
+    """Three slots with different prompt lengths decode together; every slot's
+    output must equal the AR oracle on the same weights."""
+    draft, target = models
+    eng = _batched_engine(models, B=3)
+    prompts = [[1, 17, 42, 9], [3, 3, 7], [50, 60, 70, 80, 90, 11]]
+    starts = []
+    for b, p in enumerate(prompts):
+        assert eng.admit(b, p)
+        starts.append(int(eng.num_nodes[b]))
+    for _ in range(5):
+        eng.step()
+    for b, p in enumerate(prompts):
+        produced = eng.tokens_host[b, starts[b]: int(eng.num_nodes[b]) + 1].tolist()
+        assert len(produced) >= 6
+        oracle = _greedy_ar_decode(target, p, len(produced))
+        assert produced == oracle[: len(produced)], f"slot {b} diverged"
+
+
+def test_continuous_batching_run_more_requests_than_slots(models):
+    draft, target = models
+    eng = _batched_engine(models, B=2)
+    prompts = [[1, 17, 42, 9], [3, 3, 7], [50, 60, 70], [8, 9], [11, 12, 13]]
+    reqs = [dict(input_ids=p, max_new_tokens=8) for p in prompts]
+    results = eng.run(reqs)
+    assert all(r is not None for r in results)
+    for p, r in zip(prompts, results):
+        toks = r["generated_tokens"]
+        assert len(toks) >= 8
+        oracle = _greedy_ar_decode(target, p, len(toks))
+        assert toks == oracle[: len(toks)]
+
+
+def test_continuous_batcher_futures(models):
+    eng = _batched_engine(models, B=2)
+    batcher = ContinuousBatcher(eng)
+    batcher.start()
+    try:
+        futs = [batcher.submit(input_ids=[1, 17, 42, 9], max_new_tokens=6),
+                batcher.submit(input_ids=[3, 3, 7], max_new_tokens=6),
+                batcher.submit(input_ids=[8, 9], max_new_tokens=6)]
+        outs = [f.result(timeout=300) for f in futs]
+    finally:
+        batcher.shutdown()
+    _, target = models
+    for f, (p, out) in zip(futs, zip([[1, 17, 42, 9], [3, 3, 7], [8, 9]], outs)):
+        toks = out["generated_tokens"]
+        assert len(toks) >= 6
+        oracle = _greedy_ar_decode(target, p, len(toks))
+        assert toks == oracle[: len(toks)]
+
+
+def test_batched_stochastic_step_runs(models):
+    eng = _batched_engine(models, B=2)
+    assert eng.admit(0, [1, 17, 42, 9])
+    assert eng.admit(1, [3, 3, 7])
+    out = eng.step(temperature=[0.8, 0.0], topp=[0.9, 0.9], penalty=[1.1, 1.0])
+    assert set(out) == {0, 1}
+    assert all(a >= 1 for a, _ in out.values())

@@ -1,0 +1,213 @@
+"""Batched (multi-slot) llama forward + KV cache for continuous batching.
+
+The reference is strictly batch-1 — its KV cache has no batch dimension
+(`umbrella/attn/cache.py:18-34`) and its server serializes requests through one
+worker (`umbrella/api/server.py:43-55`). This module is the TPU-native extension the
+north star asks for: B request SLOTS decode in one compiled step, each slot with its
+own committed length (`num_nodes[b]`) and KV window.
+
+Design rules (CLAUDE.md axon runtime):
+- No vmap over indexing ops — a vmapped dynamic_slice lowers to a gather, which
+  poisons this runtime's dispatch path. Per-slot slices/updates are UNROLLED Python
+  loops over the static slot count B (each iteration a cheap contiguous DMA);
+  everything dense (projections, rope, attention einsums, norms) batches naturally.
+- KV layout [n_layers, B, kv_heads, L, head_dim]: slot-major windows are contiguous,
+  so per-slot writes/compaction touch one [KVH, S, D] block.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import ModelConfig
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope
+from ..ops.select import embed_lookup, onehot
+from .llama import StaticModelArgs, _attn_projections, _linear, _mlp_gate_up
+
+
+class BatchedKVCache(NamedTuple):
+    k: jnp.ndarray  # [n_layers, B, kv_heads, L, head_dim]
+    v: jnp.ndarray
+
+    @property
+    def batch(self) -> int:
+        return self.k.shape[1]
+
+
+def init_batched_kv(cfg: ModelConfig, batch: int, max_length: int,
+                    dtype=jnp.bfloat16, num_layers: Optional[int] = None) -> BatchedKVCache:
+    n = num_layers if num_layers is not None else cfg.num_hidden_layers
+    shape = (n, batch, cfg.num_key_value_heads, max_length, cfg.resolved_head_dim)
+    return BatchedKVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def update_layer_batched(kv: BatchedKVCache, layer_idx, k_new, v_new, offsets):
+    """Write [B, S, KVH, D] new keys/values at per-slot offsets (unrolled writes)."""
+    B = k_new.shape[0]
+    k, v = kv.k, kv.v
+    for b in range(B):
+        kb = k_new[b].transpose(1, 0, 2)[None, None]  # [1,1,KVH,S,D]
+        vb = v_new[b].transpose(1, 0, 2)[None, None]
+        idx = (layer_idx, b, 0, offsets[b], 0)
+        k = lax.dynamic_update_slice(k, kb.astype(k.dtype), idx)
+        v = lax.dynamic_update_slice(v, vb.astype(v.dtype), idx)
+    return BatchedKVCache(k, v)
+
+
+def update_layer_slot(kv: BatchedKVCache, layer_idx, k_new, v_new, slot, offset):
+    """Write [S, KVH, D] new keys/values for ONE (traced) slot at `offset`."""
+    kb = k_new.transpose(1, 0, 2)[None, None]
+    vb = v_new.transpose(1, 0, 2)[None, None]
+    idx = (layer_idx, slot, 0, offset, 0)
+    return BatchedKVCache(
+        k=lax.dynamic_update_slice(kv.k, kb.astype(kv.k.dtype), idx),
+        v=lax.dynamic_update_slice(kv.v, vb.astype(kv.v.dtype), idx))
+
+
+def gather_compact_batched(kv: BatchedKVCache, local_indices, offsets, accept_lens):
+    """Per-slot KV compaction (see kv_cache.gather_compact): for each slot b, copy
+    accepted tree slots `local_indices[b]` down to the linear prefix at offsets[b],
+    zero the rest of the window. Unrolled over slots; one-hot select (exact)."""
+    B, tree_size = local_indices.shape
+    pos = lax.iota(jnp.int32, tree_size)
+
+    k, v = kv.k, kv.v
+    n_layers, _, kvh, _, D = k.shape
+    for b in range(B):
+        valid = (pos < accept_lens[b])[:, None]
+        sel = onehot(local_indices[b], tree_size, jnp.float32) * valid
+
+        def compact(buf):
+            window = lax.dynamic_slice(
+                buf, (0, b, 0, offsets[b], 0), (n_layers, 1, kvh, tree_size, D))
+            new = jnp.einsum("ts,lbksd->lbktd", sel, window.astype(jnp.float32),
+                             preferred_element_type=jnp.float32).astype(buf.dtype)
+            return lax.dynamic_update_slice(buf, new, (0, b, 0, offsets[b], 0))
+
+        k = compact(k)
+        v = compact(v)
+    return BatchedKVCache(k, v)
+
+
+def batched_llama_forward(
+    params: dict,
+    args: StaticModelArgs,
+    kv: BatchedKVCache,
+    input_ids: jnp.ndarray,     # [B, S]
+    position_ids: jnp.ndarray,  # [B, S]
+    attn_mask: jnp.ndarray,     # [B, S, L] bool
+    write_offsets: jnp.ndarray,  # [B]
+) -> Tuple[jnp.ndarray, BatchedKVCache]:
+    """All-slots decode forward; returns (fp32 logits [B, S, V], updated kv)."""
+    B, S = input_ids.shape
+    H, D = args.num_heads, args.head_dim
+    KVH = args.num_kv_heads
+    G = H // KVH
+    scale = 1.0 / (D ** 0.5)
+    inv_freq, rope_scale = params["rope_inv_freq"], params["rope_scale"]
+
+    dt = params["final_norm"].dtype
+    hidden = jnp.stack([embed_lookup(params["embed"], input_ids[b], dt)
+                        for b in range(B)])
+
+    def body(carry, xs):
+        hidden, kv = carry
+        layer_idx, lw = xs
+        residual = hidden
+        x = rms_norm(hidden, lw["input_norm"], args.rms_eps)
+        q, k, v = _attn_projections(args, lw, x)
+        q = q.reshape(B, S, H, D)
+        k = k.reshape(B, S, KVH, D)
+        v = v.reshape(B, S, KVH, D)
+        # rope is pure positionwise math — vmap is gather-free
+        q, k = jax.vmap(lambda qq, kk, pp: apply_rope(
+            qq, kk, inv_freq, rope_scale, pp))(q, k, position_ids)
+        kv = update_layer_batched(kv, layer_idx, k, v, write_offsets)
+        kl = lax.dynamic_index_in_dim(kv.k, layer_idx, axis=0, keepdims=False)
+        vl = lax.dynamic_index_in_dim(kv.v, layer_idx, axis=0, keepdims=False)
+        qg = q.reshape(B, S, KVH, G, D)
+        scores = jnp.einsum("bskgd,bkld->bkgsl", qg, kl,
+                            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(attn_mask[:, None, None, :, :], scores,
+                           jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(scores, axis=-1).astype(vl.dtype)
+        out = jnp.einsum("bkgsl,bkld->bskgd", probs, vl).reshape(B, S, H * D)
+        hidden = residual + _linear(out, lw["wo"])
+        residual = hidden
+        x = rms_norm(hidden, lw["post_norm"], args.rms_eps)
+        gate, up = _mlp_gate_up(lw, x)
+        hidden = residual + _linear(jax.nn.silu(gate) * up, lw["down"])
+        return (hidden, kv), None
+
+    layer_ids = lax.iota(jnp.int32, args.n_layers)
+    (hidden, kv), _ = lax.scan(body, (hidden, kv), (layer_ids, params["layers"]))
+
+    hidden = rms_norm(hidden, params["final_norm"], args.rms_eps)
+    head = params.get("lm_head")
+    w = head if head is not None else params["embed"].T
+    logits = jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+    return logits.astype(jnp.float32), kv
+
+
+def slot_llama_forward(
+    params: dict,
+    args: StaticModelArgs,
+    kv: BatchedKVCache,
+    input_ids: jnp.ndarray,     # [S]
+    position_ids: jnp.ndarray,  # [S]
+    attn_mask: jnp.ndarray,     # [S, L] bool
+    slot,                       # traced scalar slot id
+    write_offset,               # traced scalar
+) -> Tuple[jnp.ndarray, BatchedKVCache]:
+    """Single-sequence forward for one slot of a batched cache (prefill path)."""
+    S = input_ids.shape[0]
+    H, D, KVH = args.num_heads, args.head_dim, args.num_kv_heads
+    G = H // KVH
+    scale = 1.0 / (D ** 0.5)
+    inv_freq, rope_scale = params["rope_inv_freq"], params["rope_scale"]
+    L = kv.k.shape[3]
+
+    hidden = embed_lookup(params["embed"], input_ids, params["final_norm"].dtype)
+
+    def body(carry, xs):
+        hidden, kv = carry
+        layer_idx, lw = xs
+        residual = hidden
+        x = rms_norm(hidden, lw["input_norm"], args.rms_eps)
+        q, k, v = _attn_projections(args, lw, x)
+        q = q.reshape(S, H, D)
+        k = k.reshape(S, KVH, D)
+        v = v.reshape(S, KVH, D)
+        q, k = apply_rope(q, k, inv_freq, rope_scale, position_ids)
+        kv = update_layer_slot(kv, layer_idx, k, v, slot, write_offset)
+        n_l = kv.k.shape[0]
+        kl = lax.dynamic_slice(kv.k, (layer_idx, slot, 0, 0, 0),
+                               (1, 1, KVH, L, D))[0, 0]
+        vl = lax.dynamic_slice(kv.v, (layer_idx, slot, 0, 0, 0),
+                               (1, 1, KVH, L, D))[0, 0]
+        qg = q.reshape(S, KVH, G, D)
+        scores = jnp.einsum("skgd,kld->kgsl", qg, kl,
+                            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(attn_mask[None, None, :, :], scores,
+                           jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(scores, axis=-1).astype(vl.dtype)
+        out = jnp.einsum("kgsl,kld->skgd", probs, vl).reshape(S, H * D)
+        hidden = residual + _linear(out, lw["wo"])
+        residual = hidden
+        x = rms_norm(hidden, lw["post_norm"], args.rms_eps)
+        gate, up = _mlp_gate_up(lw, x)
+        hidden = residual + _linear(jax.nn.silu(gate) * up, lw["down"])
+        return (hidden, kv), None
+
+    layer_ids = lax.iota(jnp.int32, args.n_layers)
+    (hidden, kv), _ = lax.scan(body, (hidden, kv), (layer_ids, params["layers"]))
+
+    hidden = rms_norm(hidden, params["final_norm"], args.rms_eps)
+    head = params.get("lm_head")
+    w = head if head is not None else params["embed"].T
+    logits = jnp.dot(hidden, w, preferred_element_type=jnp.float32)
+    return logits.astype(jnp.float32), kv

@@ -1,0 +1,514 @@
+"""Multi-slot speculative-decoding engine: continuous batching on TPU.
+
+The reference serves ONE request at a time (`umbrella/api/server.py:43-55`; KV cache
+has no batch dim, `attn/cache.py:18-34`). This engine decodes B request slots in one
+compiled step — each slot an independent sequence with its own committed length,
+static Sequoia tree shared across slots — and admits/evicts requests between steps
+(continuous batching). Per-slot temperature/topp/penalty are traced vectors, so slots
+with different sampling params share one compilation; greedy slots select the argmax
+branch via a mask.
+
+Slot lifecycle: admit (chunked prefill into a free slot) -> batched decode steps
+(inactive slots are compute-gated: their accept length is forced to 0 and all their
+writes land in the scratch region >= num_nodes[b]) -> finish (EOS / budget) -> slot
+freed, next queued request admitted.
+"""
+from __future__ import annotations
+
+import functools
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+from typing import List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.auto_model import AutoModelLM, ModelRuntime
+from ..models.batched import (
+    BatchedKVCache, batched_llama_forward, gather_compact_batched,
+    init_batched_kv, slot_llama_forward)
+from ..ops import sampling as S
+from ..ops.masks import causal_mask_rows, tree_level_mask_rows, tree_mask_rows
+from ..ops.select import onehot
+from ..speculation.spec_utils import next_bucket
+from ..speculation.tree import GrowMap
+from ..utils import setup_logger
+
+logger = setup_logger()
+
+PREFILL_BUCKETS = (32, 64, 128, 256, 512)
+
+
+class BatchedStaticEngine:
+    """B-slot static-tree speculative decoder over batched KV caches."""
+
+    def __init__(self, draft_model_name: Union[str, ModelRuntime],
+                 target_model_name: Union[str, ModelRuntime],
+                 batch_size: int = 4, dtype=jnp.bfloat16, **kwargs):
+        growmap_path = kwargs.pop("growmap_path", None)
+        growmap_obj = kwargs.pop("growmap", None)
+        assert growmap_path is not None or growmap_obj is not None
+        self.growmap_path, self.growmap_obj = growmap_path, growmap_obj
+        self.draft_model_name = draft_model_name
+        self.target_model_name = target_model_name
+        self.batch_size = batch_size
+        self.dtype = dtype
+        self.max_length = kwargs.pop("max_length", 4096)
+        self.safe_buffer = kwargs.pop("safe_buffer", 64)
+        self.topk = kwargs.pop("topk", 32)  # static (tree-verify top-k filter width)
+        self.tokenizer = kwargs.pop("tokenizer", None)
+        self.eos_token_ids = kwargs.pop("eos_token_ids", None)
+        self.seed = kwargs.pop("seed", 0)
+        self.config = kwargs
+
+    # ------------------------------------------------------------------ setup
+
+    def _load(self, spec):
+        if isinstance(spec, str):
+            return AutoModelLM.from_pretrained(
+                spec, offload=False, max_length=self.max_length, dtype=self.dtype,
+                **self.config)
+        return spec
+
+    def initialize(self):
+        gm = (self.growmap_obj if isinstance(self.growmap_obj, GrowMap)
+              else GrowMap.from_dict(self.growmap_obj)) \
+            if self.growmap_obj is not None else GrowMap.from_json(self.growmap_path)
+        gm.validate()
+        self.growmap = gm
+        self.tree_size = gm.size
+
+        self.draft_model = self._load(self.draft_model_name)
+        self.target_model = self._load(self.target_model_name)
+        assert self.draft_model.supports_fused_phases \
+            and self.target_model.supports_fused_phases, \
+            "batched engine requires resident (non-offload) models"
+        assert self.draft_model.family != "gemma2" \
+            and self.target_model.family != "gemma2", \
+            "batched engine currently covers the llama-family forward"
+
+        if self.tokenizer is None and isinstance(self.target_model_name, str):
+            from transformers import AutoTokenizer
+
+            self.tokenizer = AutoTokenizer.from_pretrained(self.target_model_name)
+        if self.eos_token_ids is None:
+            self.eos_token_ids = self.target_model.eos_ids or [-1]
+
+        B, L = self.batch_size, self.max_length
+        self.tokens = jnp.zeros((B, L), jnp.int32)
+        self.tokens_host = np.zeros((B, L), np.int32)
+        self.num_nodes = np.zeros(B, np.int64)
+        self.active = np.zeros(B, bool)
+        self.kv_draft = init_batched_kv(
+            self.draft_model.cfg, B, L, self.dtype,
+            num_layers=self.draft_model.args.n_layers)
+        self.kv_target = init_batched_kv(
+            self.target_model.cfg, B, L, self.dtype,
+            num_layers=self.target_model.args.n_layers)
+        self._key = jax.random.PRNGKey(self.seed)
+
+        level_static, level_arrays = [], []
+        for lvl in range(gm.num_levels):
+            level_static.append(dict(
+                start=gm.level_start(lvl), n=len(gm.roots[lvl]),
+                topk=gm.level_topk(lvl) if lvl < gm.num_levels - 1 else 0))
+            level_arrays.append(dict(
+                depth=jnp.asarray(gm.depth[gm.level_nodes(lvl)], jnp.int32),
+                gather=(jnp.asarray(gm.level_gather_indices(lvl))
+                        if lvl < gm.num_levels - 1 else jnp.zeros(0, jnp.int32))))
+        self._level_static = level_static
+        self._consts = dict(
+            bitmap=jnp.asarray(gm.bitmap),
+            depth=jnp.asarray(gm.depth, jnp.int32),
+            parents=jnp.asarray(gm.parents, jnp.int32),
+            node_in_path=jnp.asarray(gm.node_in_path, jnp.int32),
+            eos=jnp.asarray(np.asarray(self.eos_token_ids, np.int32)),
+            levels=tuple(level_arrays),
+        )
+        self._build_jits()
+
+    # ------------------------------------------------------------------ jits
+
+    def _build_jits(self):
+        B, L, T = self.batch_size, self.max_length, self.tree_size
+        d_args, t_args = self.draft_model.args, self.target_model.args
+        level_static = self._level_static
+        topk = self.topk
+        cap = self.max_length - self.safe_buffer
+
+        def slice_rows(tokens, starts, n):
+            """[B, n] rows tokens[b, starts[b] : starts[b]+n] (unrolled slices)."""
+            return jnp.stack([
+                jax.lax.dynamic_slice(tokens, (b, starts[b]), (1, n))[0]
+                for b in range(B)])
+
+        def write_rows(tokens, rows, starts):
+            for b in range(B):
+                tokens = jax.lax.dynamic_update_slice(
+                    tokens, rows[b][None], (b, starts[b]))
+            return tokens
+
+        def build_tree(pd, kv_d, tokens, nn, consts):
+            bitmap = consts["bitmap"]
+            for ms, ma in zip(level_static, consts["levels"]):
+                n = ms["n"]
+                ids = slice_rows(tokens, nn + ms["start"], n)
+                pos = nn[:, None] + ma["depth"][None, :]
+                mask = jnp.stack([
+                    tree_level_mask_rows(nn[b], bitmap, ms["start"], n, L)
+                    for b in range(B)])
+                logits, kv_d = batched_llama_forward(
+                    pd, d_args, kv_d, ids, pos, mask, nn + ms["start"])
+                if ms["topk"] > 0:
+                    cand = jax.lax.top_k(logits, ms["topk"])[1].reshape(B, -1)
+                    gsel = onehot(ma["gather"], cand.shape[1], jnp.float32)
+                    new_tokens = jnp.einsum(
+                        "km,bm->bk", gsel, cand.astype(jnp.float32)).astype(jnp.int32)
+                    tokens = write_rows(tokens, new_tokens, nn + ms["start"] + n)
+            return tokens, kv_d
+
+        def step_fn(pd, pt, kv_d, kv_t, tokens, nn, active, key,
+                    temperature_vec, topp_vec, penalty_vec, consts, *, use_pen):
+            tokens, kv_d = build_tree(pd, kv_d, tokens, nn, consts)
+            bitmap, parents = consts["bitmap"], consts["parents"]
+            node_in_path, eos_arr = consts["node_in_path"], consts["eos"]
+
+            ids = slice_rows(tokens, nn, T)
+            pos = nn[:, None] + consts["depth"][None, :]
+            mask = jnp.stack([tree_mask_rows(nn[b], bitmap, L) for b in range(B)])
+            logits, kv_t = batched_llama_forward(
+                pt, t_args, kv_t, ids, pos, mask, nn)
+
+            if use_pen:
+                logits = jnp.stack([
+                    S.apply_repetition_penalty(
+                        logits[b], tokens[b], nn[b] + 1, penalty_vec[b])
+                    for b in range(B)])
+
+            # per-slot greedy-vs-stochastic select (one compilation for any mix)
+            greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            temp = jnp.maximum(temperature_vec, 1e-3)[:, None, None]
+            filt = S.apply_topk_mask(logits, topk)
+            probs = jax.nn.softmax(filt / temp, axis=-1)
+            probs = jnp.stack([
+                S.top_p_renorm_probs(probs[b], topp_vec[b]) for b in range(B)])
+            stoch_tok = jax.random.categorical(
+                key, jnp.log(probs + 1e-20), axis=-1).astype(jnp.int32)
+            greedy_mask = (temperature_vec < 0.05)[:, None]
+            sampled = jnp.where(greedy_mask, greedy_tok, stoch_tok)
+
+            # accept rule (batched; tree metadata shared across slots)
+            psel = onehot(parents, T, jnp.float32)  # [T, T]
+            sam_par = jnp.einsum("ts,bs->bt", psel,
+                                 sampled.astype(jnp.float32)).astype(jnp.int32)
+            accept = (sam_par == ids)
+            accept = accept.at[:, 0].set(True)
+            anc = jnp.einsum("ts,bs->bt", bitmap.astype(jnp.float32),
+                             accept.astype(jnp.float32))
+            path_ok = anc == node_in_path[None, :].astype(jnp.float32)
+            alen0 = jnp.sum(path_ok, axis=1).astype(jnp.int32)
+            iota = jax.lax.iota(jnp.int32, T)
+            path = jnp.sort(jnp.where(path_ok, iota[None, :], T), axis=1)
+            path = jnp.clip(path, 0, T - 1)
+            last = jnp.max(jnp.where(path_ok, iota[None, :], -1), axis=1)
+            bonus = jnp.sum(jnp.where(iota[None, :] == last[:, None], sampled, 0),
+                            axis=1)
+            hit = path[:, :, None] == iota[None, None, :]
+            acc_tokens = jnp.sum(jnp.where(hit, ids[:, None, :], 0), axis=2)
+
+            old_block = slice_rows(tokens, nn, T + 1)
+            bidx = jax.lax.iota(jnp.int32, T + 1)[None, :]
+            acc_pad = jnp.concatenate([acc_tokens, acc_tokens[:, -1:]], axis=1)
+            block = jnp.where(bidx < alen0[:, None], acc_pad,
+                              jnp.where(bidx == alen0[:, None],
+                                        bonus[:, None], old_block))
+
+            is_eos = jnp.any(block[:, :, None] == eos_arr[None, None, :], axis=-1)
+            pos_b = jax.lax.iota(jnp.int32, T + 1)[None, :]
+            is_eos &= pos_b < (alen0 + 1)[:, None]
+            first = jnp.min(jnp.where(is_eos, pos_b, T + 1), axis=1)
+            eos_found = first <= T
+            alen = jnp.where(eos_found, first, alen0).astype(jnp.int32)
+            alen = jnp.where(active & (nn + alen <= cap), alen, 0)
+            eos_found &= active
+
+            tokens = write_rows(tokens, block, nn)
+            kv_t = gather_compact_batched(kv_t, path, nn, alen)
+            kv_d = gather_compact_batched(kv_d, path, nn, alen)
+            return tokens, kv_d, kv_t, nn + alen, alen, block, eos_found
+
+        self._step_cache = {}
+
+        def get_step(use_pen):
+            if use_pen not in self._step_cache:
+                self._step_cache[use_pen] = jax.jit(
+                    functools.partial(step_fn, use_pen=use_pen),
+                    donate_argnums=(2, 3, 4))
+            return self._step_cache[use_pen]
+
+        self._get_step = get_step
+
+        def prefill_chunk_fn(pd, pt, kv_d, kv_t, tokens, prompt, slot, start,
+                             n_valid, *, bucket, emit):
+            tokens = jax.lax.dynamic_update_slice(tokens, prompt[None], (slot, start))
+            ids = jax.lax.dynamic_slice(tokens, (slot, start), (1, bucket))[0]
+            pos = start + jax.lax.iota(jnp.int32, bucket)
+            mask = causal_mask_rows(start, bucket, L)
+            _, kv_d = slot_llama_forward(pd, d_args, kv_d, ids, pos, mask, slot, start)
+            logits, kv_t = slot_llama_forward(pt, t_args, kv_t, ids, pos, mask,
+                                              slot, start)
+            if emit:
+                row = jax.lax.dynamic_slice(
+                    logits, (n_valid - 1, 0), (1, logits.shape[1]))[0]
+                next_tok = jnp.argmax(row).astype(jnp.int32)
+                tokens = jax.lax.dynamic_update_slice(
+                    tokens, next_tok[None, None], (slot, start + n_valid))
+            else:
+                next_tok = jnp.int32(0)
+            return tokens, kv_d, kv_t, next_tok
+
+        self._prefill_cache = {}
+
+        def get_prefill(bucket, emit):
+            k = (bucket, emit)
+            if k not in self._prefill_cache:
+                self._prefill_cache[k] = jax.jit(
+                    functools.partial(prefill_chunk_fn, bucket=bucket, emit=emit),
+                    donate_argnums=(2, 3, 4))
+            return self._prefill_cache[k]
+
+        self._get_prefill = get_prefill
+
+    # ------------------------------------------------------------------ slots
+
+    def free_slots(self) -> List[int]:
+        return [b for b in range(self.batch_size) if not self.active[b]]
+
+    def admit(self, slot: int, input_ids) -> bool:
+        """Chunked prefill of a request into `slot`; returns False on overflow."""
+        ids = np.asarray(input_ids, np.int32).reshape(-1)
+        n = len(ids)
+        if n == 0 or n >= self.max_length - 2 * self.safe_buffer:
+            return False
+        pd, pt = self.draft_model.params, self.target_model.params
+        off = 0
+        CH = PREFILL_BUCKETS[-1]
+        while off < n:
+            rem = n - off
+            bucket = CH if rem > CH else next_bucket(rem, PREFILL_BUCKETS)
+            emit = rem <= CH
+            prompt = np.zeros(bucket, np.int32)
+            prompt[:min(rem, bucket)] = ids[off:off + min(rem, bucket)]
+            fn = self._get_prefill(bucket, emit)
+            self.tokens, self.kv_draft, self.kv_target, next_tok = fn(
+                pd, pt, self.kv_draft, self.kv_target, self.tokens,
+                jnp.asarray(prompt), jnp.int32(slot), jnp.int32(off),
+                jnp.int32(rem if emit else bucket))
+            off += min(rem, bucket)
+        self.tokens_host[slot, :n] = ids
+        self.tokens_host[slot, n] = int(next_tok)
+        self.num_nodes[slot] = n
+        self.active[slot] = True
+        return True
+
+    def release(self, slot: int):
+        self.active[slot] = False
+
+    def step(self, temperature=None, topp=None, penalty=None):
+        """One batched build+verify step over all slots. Returns per-slot
+        (accept_len, committed_tokens_including_trailing) for active slots."""
+        B, T = self.batch_size, self.tree_size
+        tv = np.zeros(B, np.float32) if temperature is None else np.asarray(temperature, np.float32)
+        pv = np.full(B, 0.9, np.float32) if topp is None else np.asarray(topp, np.float32)
+        rv = np.ones(B, np.float32) if penalty is None else np.asarray(penalty, np.float32)
+        use_pen = bool(np.any(rv > 1.01))
+        self._key, sub = jax.random.split(self._key)
+        fn = self._get_step(use_pen)
+        out = fn(self.draft_model.params, self.target_model.params,
+                 self.kv_draft, self.kv_target, self.tokens,
+                 jnp.asarray(self.num_nodes.astype(np.int32)),
+                 jnp.asarray(self.active), sub,
+                 jnp.asarray(tv), jnp.asarray(pv), jnp.asarray(rv), self._consts)
+        self.tokens, self.kv_draft, self.kv_target, nn_new, alen, block, eos = out
+        alen = np.asarray(alen)
+        block = np.asarray(block)
+        eos = np.asarray(eos)
+        results = {}
+        for b in range(B):
+            if not self.active[b]:
+                continue
+            old = int(self.num_nodes[b])
+            a = int(alen[b])
+            end = min(old + T + 1, self.max_length)
+            self.tokens_host[b, old:end] = block[b, : end - old]
+            self.num_nodes[b] = old + a
+            results[b] = (a, bool(eos[b]))
+        return results
+
+    # ------------------------------------------------------------ serving loop
+
+    def run(self, requests: List[dict]) -> List[dict]:
+        """Continuous batching over a request list. Each request:
+        {input_ids: [...], max_new_tokens: int, temperature?, topp?,
+        repetition_penalty?}. Returns per-request result dicts in input order."""
+        B = self.batch_size
+        queue = deque(enumerate(requests))
+        slot_req = {}          # slot -> (request index, request)
+        slot_start = {}        # slot -> committed length at admission
+        slot_steps = {}
+        results = [None] * len(requests)
+        t0 = time.time()
+        total_steps = 0
+
+        def admit_from_queue():
+            for b in self.free_slots():
+                if not queue:
+                    break
+                idx, req = queue.popleft()
+                ids = req.get("input_ids")
+                if ids is None and self.tokenizer is not None:
+                    ids = self.tokenizer.encode(req["context"])
+                if not ids or not self.admit(b, ids):
+                    results[idx] = dict(
+                        generated_text="", generated_tokens=[],
+                        avg_accept_tokens=0, time_per_output_token=0)
+                    continue
+                slot_req[b] = (idx, req)
+                slot_start[b] = int(self.num_nodes[b])
+                slot_steps[b] = 0
+
+        admit_from_queue()
+        while any(self.active):
+            tv = np.zeros(B, np.float32)
+            pv = np.full(B, 0.9, np.float32)
+            rv = np.ones(B, np.float32)
+            for b, (_, req) in slot_req.items():
+                tv[b] = req.get("temperature", 0.0)
+                pv[b] = req.get("topp", 0.9)
+                rv[b] = req.get("repetition_penalty", 1.0)
+            step_out = self.step(tv, pv, rv)
+            total_steps += 1
+            for b, (a, eos_found) in step_out.items():
+                if b not in slot_req:
+                    continue
+                slot_steps[b] += 1
+                idx, req = slot_req[b]
+                produced = int(self.num_nodes[b]) - slot_start[b]
+                budget = req.get("max_new_tokens", 128)
+                near_cap = int(self.num_nodes[b]) > self.max_length - self.safe_buffer
+                if eos_found or produced >= budget or near_cap:
+                    toks = self.tokens_host[
+                        b, slot_start[b]: int(self.num_nodes[b]) + 1].tolist()
+                    text = (self.tokenizer.decode(
+                        toks, skip_special_tokens=True,
+                        clean_up_tokenization_spaces=False)
+                        if self.tokenizer else "")
+                    results[idx] = dict(
+                        generated_text=text, generated_tokens=toks,
+                        avg_accept_tokens=len(toks) / max(slot_steps[b], 1),
+                        time_per_output_token=0.0)
+                    self.release(b)
+                    del slot_req[b], slot_start[b], slot_steps[b]
+            admit_from_queue()
+        elapsed = time.time() - t0
+        total_tokens = sum(len(r["generated_tokens"]) for r in results if r)
+        if total_tokens:
+            tpot = 1000 * elapsed / total_tokens
+            for r in results:
+                if r and r["generated_tokens"]:
+                    r["time_per_output_token"] = tpot
+        logger.info("continuous batching: %d requests, %d steps, %.1f tok/s",
+                    len(requests), total_steps,
+                    total_tokens / max(elapsed, 1e-9))
+        return results
+
+
+class ContinuousBatcher:
+    """Thread-safe submit()/Future wrapper around BatchedStaticEngine.run-style
+    stepping: one background thread admits queued requests into free slots and
+    steps the engine while any slot is active."""
+
+    def __init__(self, engine: BatchedStaticEngine):
+        self.engine = engine
+        self._queue: deque = deque()
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self):
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, **request) -> Future:
+        fut: Future = Future()
+        with self._lock:
+            self._queue.append((request, fut))
+        self._wake.set()
+        return fut
+
+    def shutdown(self):
+        self._stop.set()
+        self._wake.set()
+        if self._thread:
+            self._thread.join(timeout=10)
+
+    def _loop(self):
+        eng = self.engine
+        slot_req = {}
+        slot_start = {}
+        slot_steps = {}
+        while not self._stop.is_set():
+            with self._lock:
+                for b in eng.free_slots():
+                    if not self._queue:
+                        break
+                    req, fut = self._queue.popleft()
+                    ids = req.get("input_ids")
+                    if ids is None and eng.tokenizer is not None:
+                        ids = eng.tokenizer.encode(req.get("context", ""))
+                    if not ids or not eng.admit(b, ids):
+                        fut.set_result(dict(generated_text="", generated_tokens=[],
+                                            avg_accept_tokens=0,
+                                            time_per_output_token=0))
+                        continue
+                    slot_req[b] = (req, fut)
+                    slot_start[b] = int(eng.num_nodes[b])
+                    slot_steps[b] = 0
+            if not any(eng.active):
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+            B = eng.batch_size
+            tv = np.zeros(B, np.float32)
+            pv = np.full(B, 0.9, np.float32)
+            rv = np.ones(B, np.float32)
+            for b, (req, _) in slot_req.items():
+                tv[b] = req.get("temperature", 0.0)
+                pv[b] = req.get("topp", 0.9)
+                rv[b] = req.get("repetition_penalty", 1.0)
+            out = eng.step(tv, pv, rv)
+            for b, (a, eos_found) in out.items():
+                if b not in slot_req:
+                    continue
+                slot_steps[b] += 1
+                req, fut = slot_req[b]
+                produced = int(eng.num_nodes[b]) - slot_start[b]
+                budget = req.get("max_new_tokens", 128)
+                near_cap = int(eng.num_nodes[b]) > eng.max_length - eng.safe_buffer
+                if eos_found or produced >= budget or near_cap:
+                    toks = eng.tokens_host[
+                        b, slot_start[b]: int(eng.num_nodes[b]) + 1].tolist()
+                    text = (eng.tokenizer.decode(
+                        toks, skip_special_tokens=True,
+                        clean_up_tokenization_spaces=False)
+                        if eng.tokenizer else "")
+                    fut.set_result(dict(
+                        generated_text=text, generated_tokens=toks,
+                        avg_accept_tokens=len(toks) / max(slot_steps[b], 1),
+                        time_per_output_token=0.0))
+                    eng.release(b)
+                    del slot_req[b], slot_start[b], slot_steps[b]
