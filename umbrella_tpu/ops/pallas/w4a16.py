@@ -9,8 +9,24 @@ packing (quantization/awq.py): the int8 weight tile's low nibbles are original r
 
 with zero lane/sublane interleaving — nibble unpack is two VPU ops, scale/zero
 expansion is a sublane broadcast, and both halves feed the MXU directly. The packed
-weight streams HBM->VMEM exactly once (the op is bandwidth-bound at decode sizes,
-which is exactly why the 4-bit format wins; measured ~55-60% of HBM peak on v5e).
+weight streams HBM->VMEM exactly once.
+
+Measured roofline (v5e, slope method over in-jit scan, 2026-08): ~390-420 GB/s of
+packed-weight traffic at S=16..128 vs ~740 GB/s for a dense bf16 XLA matmul on the
+same shapes. The gap is NOT a DMA or VPU deficiency: at S tokens the MXU runs at
+S/128 efficiency, so MXU time for x[S,K] @ W[K,N] is S-independent below S=128
+(2*128*K*N / 197e12 s), and at 8B shapes that (~0.15 ms for the gate|up matrix)
+exceeds both the DMA time (~0.08 ms at full bandwidth) and the VPU dequant time
+(~0.08 ms). Empirically kernel time is FLAT from S=16 to S=128 and doubles at
+S=256 — i.e. the kernel is MXU-latency-bound, already at its structural limit for
+a W4A16 (bf16 MXU) design. Consequences exploited elsewhere:
+  - speculation trees up to ~128 nodes verify at the SAME cost as 16-node trees
+    (see trees/ and configs: TPU configs default to larger growmaps than the
+    reference's 31-43 node GPU trees);
+  - alternate-variant sweeps (grouped per-128-row MXU dequant, all-bf16 VPU
+    dequant, zs-precompute) all land within noise of this kernel or worse
+    (bf16 VPU arithmetic legalizes to f32 with pack/unpack overhead on Mosaic).
+Going faster at small S requires the int8 MXU path (W4A8), a numerics change.
 
 Grid is (N tiles, K tiles) with an fp32 accumulator in scratch — K-tiling keeps the
 fp32 dequant temporaries inside the ~16MB VMEM budget for 70B-scale matrices.
