@@ -138,3 +138,138 @@ def test_int8_kv_cache_decode(tiny_cfg):
     toks = eng.tokens_host[start : eng.num_nodes]
     assert eng.num_nodes - start >= 4
     assert (toks >= 0).all() and (toks < cfg.vocab_size).all()
+
+
+def test_awq_lm_head_logits_exact_vs_dequant(tiny_cfg):
+    """W4 lm_head (TPU extension): forward logits with an AwqTensor head must equal
+    logits computed against the explicitly dequantized head matrix (fp32 both)."""
+    import dataclasses
+
+    import jax
+    from umbrella_tpu.models.auto_model import ModelRuntime, random_runtime
+    from umbrella_tpu.models.llama import llama_forward
+    from umbrella_tpu.ops.masks import causal_mask_rows
+    from umbrella_tpu.quantization.awq import dequantize
+    from test_static_engine import MAX_LEN
+
+    cfg = dataclasses.replace(tiny_cfg, hidden_size=256, intermediate_size=256,
+                              num_attention_heads=4, num_key_value_heads=2,
+                              tie_word_embeddings=False)
+    base = random_runtime(cfg, MAX_LEN, seed=0)
+    qparams = quantize_params(base.params, group_size=128, dtype=jnp.float32,
+                              quantize_lm_head=True)
+    assert isinstance(qparams["lm_head"], AwqTensor)
+    rt = ModelRuntime(cfg, qparams, MAX_LEN, dtype=jnp.float32)
+
+    prompt = jnp.asarray([1, 9, 23, 7], jnp.int32)
+    S = prompt.shape[0]
+    pos = jnp.arange(S)
+    mask = causal_mask_rows(0, S, MAX_LEN)
+    logits_q, _ = llama_forward(rt.params, rt.args, rt.init_kv(), prompt, pos, mask, 0)
+
+    dense_params = dict(qparams)
+    dense_params["lm_head"] = dequantize(qparams["lm_head"], jnp.float32)
+    logits_d, _ = llama_forward(dense_params, rt.args, rt.init_kv(), prompt, pos, mask, 0)
+    np.testing.assert_allclose(np.asarray(logits_q), np.asarray(logits_d),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_quantized_draft_runtime_lossless(tiny_cfg):
+    """quantize_runtime on the DRAFT: spec decode stays token-identical with the fp
+    target's AR oracle (draft quality never affects greedy losslessness)."""
+    import dataclasses
+
+    from umbrella_tpu.models.auto_model import random_runtime
+    from umbrella_tpu.quantization.loader import quantize_runtime
+    from umbrella_tpu.sequoia import growmap_from_spec
+    from umbrella_tpu.speculation.static_engine import StaticEngine
+    from test_static_engine import MAX_LEN, _greedy_ar_decode
+
+    cfg = dataclasses.replace(tiny_cfg, hidden_size=256, intermediate_size=256,
+                              num_attention_heads=4, num_key_value_heads=2)
+    target = random_runtime(cfg, MAX_LEN, seed=0)
+    draft = quantize_runtime(random_runtime(cfg, MAX_LEN, seed=1), dtype=jnp.float32)
+    eng = StaticEngine(
+        draft_model_name=draft, target_model_name=target, dtype=jnp.float32,
+        growmap=growmap_from_spec(3, 4), max_length=MAX_LEN, safe_buffer=32,
+        eos_token_ids=[-1])
+    eng.initialize()
+    prompt = [1, 9, 23]
+    assert eng._prefill(np.asarray(prompt))
+    start = eng.num_nodes
+    for _ in range(4):
+        eng.build_tree()
+        eng.verify()
+    produced = eng.tokens_host[start : eng.num_nodes + 1].tolist()
+    oracle = _greedy_ar_decode(target, prompt, len(produced))
+    assert produced == oracle[: len(produced)]
+
+
+def test_w4a8_kernel_interpret_and_row_invariance():
+    """W4A8 kernel (int8 activations): close to exact dequant math, and per-ROW
+    activation quantization makes a row's output independent of its batch — the
+    property that keeps greedy spec decode lossless vs AR decode under W4A8."""
+    from umbrella_tpu.ops.pallas.w4a8 import w4a8_matmul
+
+    rng = np.random.default_rng(5)
+    K, N, g, S = 512, 256, 128, 8
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    int_w, int_z, scales = quantize_matrix(w, g)
+    q = pack_tpu_layout(int_w, int_z, scales, dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((S, K)) * 0.1, jnp.bfloat16)
+
+    y = np.asarray(w4a8_matmul(x, q, interpret=True), np.float32)
+    ref = np.asarray(x, np.float32) @ np.asarray(dequantize(q, jnp.float32), np.float32)
+    rel = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.03, rel  # int8 activations ~1% relative error
+
+    y_row0 = np.asarray(w4a8_matmul(x[0:1], q, interpret=True), np.float32)
+    np.testing.assert_array_equal(y[0], y_row0[0])
+
+
+def test_w4a16_kernel_small_group_count_shapes():
+    """hidden=1536-style drafts have only 6 scale groups per half — the block
+    picker must fall back to full-K2 blocks (scale block == overall dim)."""
+    from umbrella_tpu.ops.pallas.w4a16 import w4a16_matmul
+
+    rng = np.random.default_rng(6)
+    K, N, g, S = 1536, 512, 128, 8
+    w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+    int_w, int_z, scales = quantize_matrix(w, g)
+    q = pack_tpu_layout(int_w, int_z, scales, dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((S, K)) * 0.1, jnp.bfloat16)
+    y = np.asarray(w4a16_matmul(x, q, interpret=True), np.float32)
+    ref = np.asarray(x, np.float32) @ np.asarray(dequantize(q, jnp.float32), np.float32)
+    np.testing.assert_allclose(y, ref, rtol=5e-2, atol=5e-2)
+
+
+def test_engine_quantize_draft_flag_lossless(tiny_cfg):
+    """`quantize_draft=True` engine config: fp draft is W4-quantized at init and
+    greedy decode stays lossless vs the target's AR oracle."""
+    import dataclasses
+
+    from umbrella_tpu.models.auto_model import random_runtime
+    from umbrella_tpu.sequoia import growmap_from_spec
+    from umbrella_tpu.speculation.static_engine import StaticEngine
+    from test_static_engine import MAX_LEN, _greedy_ar_decode
+
+    cfg = dataclasses.replace(tiny_cfg, hidden_size=256, intermediate_size=256,
+                              num_attention_heads=4, num_key_value_heads=2)
+    target = random_runtime(cfg, MAX_LEN, seed=0)
+    draft = random_runtime(cfg, MAX_LEN, seed=1)
+    eng = StaticEngine(
+        draft_model_name=draft, target_model_name=target, dtype=jnp.float32,
+        growmap=growmap_from_spec(3, 4), max_length=MAX_LEN, safe_buffer=32,
+        eos_token_ids=[-1], quantize_draft=True)
+    eng.initialize()
+    assert isinstance(eng.draft_model.params["layers"]["wqkv"], AwqTensor) or \
+        any(isinstance(v, AwqTensor) for v in eng.draft_model.params["layers"].values())
+    prompt = [2, 5, 8]
+    assert eng._prefill(np.asarray(prompt))
+    start = eng.num_nodes
+    for _ in range(3):
+        eng.build_tree()
+        eng.verify()
+    produced = eng.tokens_host[start : eng.num_nodes + 1].tolist()
+    oracle = _greedy_ar_decode(target, prompt, len(produced))
+    assert produced == oracle[: len(produced)]

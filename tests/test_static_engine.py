@@ -14,6 +14,7 @@ from umbrella_tpu.models.llama import llama_forward
 from umbrella_tpu.ops.masks import causal_mask_rows
 from umbrella_tpu.sequoia import growmap_from_spec
 from umbrella_tpu.speculation.static_engine import StaticEngine
+from umbrella_tpu.speculation.tree import GrowMap
 
 MAX_LEN = 256
 
@@ -171,3 +172,31 @@ def test_generate_stream_yields_progressively(runtimes):
     final_text, perf = outputs[-1]
     assert "TPOT" in perf and len(final_text) > 0
     assert eng.num_nodes == 0  # reset at end
+
+
+def test_bundled_large_trees_load_and_validate():
+    """TPU-sized bundled trees (the W4A16 verify kernel is flat in tree size up to
+    ~128 nodes, see ops/pallas/w4a16.py) load by bare name and validate."""
+    for name, size in [("sequoia_tree-8x8.json", 65), ("sequoia_tree-18x7.json", 127)]:
+        gm = GrowMap.from_json(name)
+        gm.validate()
+        assert gm.size == size
+
+
+def test_large_tree_greedy_parity(runtimes):
+    """65-node bundled tree: greedy spec decode stays lossless vs the AR oracle."""
+    target, draft = runtimes
+    eng = StaticEngine(
+        draft_model_name=draft, target_model_name=target, dtype=jnp.float32,
+        growmap=GrowMap.from_json("sequoia_tree-8x8.json"), max_length=MAX_LEN,
+        safe_buffer=96, eos_token_ids=[-1])
+    eng.initialize()
+    prompt = [1, 17, 42]
+    assert eng._prefill(np.asarray(prompt))
+    start = eng.num_nodes
+    for _ in range(3):
+        eng.build_tree()
+        eng.verify()
+    produced = eng.tokens_host[start : eng.num_nodes + 1].tolist()
+    oracle = _greedy_ar_decode(target, prompt, len(produced))
+    assert produced == oracle[: len(produced)]

@@ -42,6 +42,9 @@ class ModelConfig:
 
     # Quantization (populated when loading AWQ checkpoints)
     quantization: Optional[dict] = None  # {"method": "awq", "bits": 4, "group_size": 128}
+    # Activation dtype for AWQ matmuls: "bf16" (W4A16, default) or "int8" (W4A8 —
+    # int8 MXU at 2x rate; TPU extension, see ops/pallas/w4a8.py)
+    awq_act: str = "bf16"
 
     @property
     def resolved_head_dim(self) -> int:

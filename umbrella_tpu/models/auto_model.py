@@ -183,6 +183,7 @@ def random_runtime(
 def random_awq_runtime(
     cfg: ModelConfig, max_length: int = 128, dtype=jnp.bfloat16, seed: int = 0,
     group_size: int = 128, n_layers: Optional[int] = None,
+    quantize_lm_head: bool = False,
 ) -> ModelRuntime:
     """Random W4-quantized model (AwqTensor weights built directly — no fp source);
     lets benchmarks exercise the real 4-bit kernels at 8B/70B shapes cheaply."""
@@ -198,14 +199,15 @@ def random_awq_runtime(
     I, V = cfg.intermediate_size, cfg.vocab_size
     rng = np.random.default_rng(seed)
 
-    def q(k_dim, n_dim):
+    def q(k_dim, n_dim, stack=True):
         G = k_dim // group_size
+        lead = (n,) if stack else ()
         return AwqTensor(
-            w8=jnp.asarray(rng.integers(0, 256, (n, k_dim // 2, n_dim), dtype=np.uint8).view(np.int8)),
+            w8=jnp.asarray(rng.integers(0, 256, (*lead, k_dim // 2, n_dim), dtype=np.uint8).view(np.int8)),
             scales=jnp.asarray(
-                rng.uniform(0.001, 0.01, (n, G, n_dim)).astype(np.float32)).astype(dtype),
+                rng.uniform(0.001, 0.01, (*lead, G, n_dim)).astype(np.float32)).astype(dtype),
             zeros=jnp.asarray(
-                rng.integers(0, 16, (n, G, n_dim)).astype(np.float32)).astype(dtype),
+                rng.integers(0, 16, (*lead, G, n_dim)).astype(np.float32)).astype(dtype),
         )
 
     layers = {
@@ -222,6 +224,9 @@ def random_awq_runtime(
         **rope_params(cfg),
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = jnp.asarray(
-            (rng.standard_normal((H, V)) * 0.02).astype(np.float32)).astype(dtype)
+        if quantize_lm_head:
+            params["lm_head"] = q(H, V, stack=False)
+        else:
+            params["lm_head"] = jnp.asarray(
+                (rng.standard_normal((H, V)) * 0.02).astype(np.float32)).astype(dtype)
     return ModelRuntime(cfg, params, max_length, dtype=dtype, n_layers=n_layers)

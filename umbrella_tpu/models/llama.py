@@ -43,6 +43,7 @@ class StaticModelArgs(NamedTuple):
     hidden_size: int
     rms_eps: float
     n_layers: int
+    awq_act_int8: bool = False  # W4A8 opt-in (ModelConfig.awq_act == "int8")
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, n_layers: Optional[int] = None) -> "StaticModelArgs":
@@ -53,15 +54,17 @@ class StaticModelArgs(NamedTuple):
             hidden_size=cfg.hidden_size,
             rms_eps=cfg.rms_norm_eps,
             n_layers=n_layers if n_layers is not None else cfg.num_hidden_layers,
+            awq_act_int8=getattr(cfg, "awq_act", "bf16") == "int8",
         )
 
 
-def _linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+def _linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None,
+            act_int8: bool = False) -> jnp.ndarray:
     """Dense or AWQ-quantized linear; w may be an array [in, out] or an AwqTensor."""
     from ..quantization.awq import AwqTensor, awq_matmul
 
     if isinstance(w, AwqTensor):
-        return awq_matmul(x, w, b)
+        return awq_matmul(x, w, b, act_int8=act_int8)
     y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
     if b is not None:
         y = y + b.astype(x.dtype)
@@ -73,20 +76,22 @@ def _attn_projections(args: StaticModelArgs, lw: dict, hidden):
     LlamaPackedLayer, ref llama.py:475-478) and unpacked layouts."""
     Hq = args.num_heads * args.head_dim
     KV = args.num_kv_heads * args.head_dim
+    a8 = args.awq_act_int8
     if "wqkv" in lw:
-        qkv = _linear(hidden, lw["wqkv"], lw.get("bqkv"))
+        qkv = _linear(hidden, lw["wqkv"], lw.get("bqkv"), act_int8=a8)
         return qkv[..., :Hq], qkv[..., Hq:Hq + KV], qkv[..., Hq + KV:]
-    return (_linear(hidden, lw["wq"], lw.get("bq")),
-            _linear(hidden, lw["wk"], lw.get("bk")),
-            _linear(hidden, lw["wv"], lw.get("bv")))
+    return (_linear(hidden, lw["wq"], lw.get("bq"), act_int8=a8),
+            _linear(hidden, lw["wk"], lw.get("bk"), act_int8=a8),
+            _linear(hidden, lw["wv"], lw.get("bv"), act_int8=a8))
 
 
-def _mlp_gate_up(lw: dict, hidden):
+def _mlp_gate_up(lw: dict, hidden, act_int8: bool = False):
     if "gate_up" in lw:
-        gu = _linear(hidden, lw["gate_up"])
+        gu = _linear(hidden, lw["gate_up"], act_int8=act_int8)
         half = gu.shape[-1] // 2
         return gu[..., :half], gu[..., half:]
-    return _linear(hidden, lw["gate"]), _linear(hidden, lw["up"])
+    return (_linear(hidden, lw["gate"], act_int8=act_int8),
+            _linear(hidden, lw["up"], act_int8=act_int8))
 
 
 def llama_attention(
@@ -112,7 +117,8 @@ def llama_attention(
     kv = update_layer(kv, layer_idx, k, v, write_offset)
     out = attend(q, kv.k, kv.v, attn_mask, kv_limit=write_offset + S,
                  k_scale=kv.k_scale, v_scale=kv.v_scale, layer_idx=layer_idx)
-    return _linear(out.reshape(S, args.num_heads * D), lw["wo"]), kv
+    return _linear(out.reshape(S, args.num_heads * D), lw["wo"],
+                   act_int8=args.awq_act_int8), kv
 
 
 def llama_layer(
@@ -136,8 +142,8 @@ def llama_layer(
     hidden = residual + attn_out
     residual = hidden
     hidden = rms_norm(hidden, lw["post_norm"], args.rms_eps)
-    gate, up = _mlp_gate_up(lw, hidden)
-    hidden = _linear(jax.nn.silu(gate) * up, lw["down"])
+    gate, up = _mlp_gate_up(lw, hidden, act_int8=args.awq_act_int8)
+    hidden = _linear(jax.nn.silu(gate) * up, lw["down"], act_int8=args.awq_act_int8)
     return residual + hidden, kv
 
 
@@ -172,7 +178,14 @@ def llama_forward(
     if lm_head is None:
         logits = jnp.dot(hidden, params["embed"].T, preferred_element_type=jnp.float32)
     else:
-        logits = jnp.dot(hidden, lm_head, preferred_element_type=jnp.float32)
+        from ..quantization.awq import AwqTensor, awq_matmul
+
+        if isinstance(lm_head, AwqTensor):
+            # W4 lm_head (the untied 8B head is 1 GB in bf16 ~ 1.4 ms/step);
+            # fp32 kernel output keeps logits exact-accumulated
+            logits = awq_matmul(hidden, lm_head, out_dtype=jnp.float32)
+        else:
+            logits = jnp.dot(hidden, lm_head, preferred_element_type=jnp.float32)
     return logits.astype(jnp.float32), kv
 
 

@@ -86,22 +86,24 @@ def _pick_bn(n: int) -> int:
 
 def _pick_bk2(k2: int, group_size: int) -> int:
     # swept on v5e: bk2=2048/bn=512 is fastest that still fits the fp32 dequant
-    # temporaries (2 x bk2 x bn x 4B ~= 8MB) in VMEM; scale blocks need >= 8 sublanes
-    # so bk2 >= 8*group_size
+    # temporaries (2 x bk2 x bn x 4B ~= 8MB) in VMEM; scale blocks need >= 8
+    # sublanes (so bk2 >= 8*group_size) — OR to span the whole scale array, whose
+    # block then equals its overall dim (always legal; e.g. hidden=1536 drafts
+    # have only 6 groups per half)
     for bk2 in (2048, 1024, 512, 256, 128):
         if k2 % bk2 == 0 and bk2 % group_size == 0 and bk2 // group_size >= 8:
-            return bk2
-    for bk2 in (1024, 512, 256, 128):
-        if k2 % bk2 == 0 and bk2 % group_size == 0:
             return bk2
     assert k2 % group_size == 0
     return k2
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_n", "block_k2"))
+@functools.partial(jax.jit, static_argnames=("interpret", "block_n", "block_k2",
+                                             "out_dtype"))
 def w4a16_matmul(x: jnp.ndarray, q, interpret: bool = False,
-                 block_n: int | None = None, block_k2: int | None = None) -> jnp.ndarray:
-    """x [S, K] @ split-halves W4 [K, N] -> [S, N] in x.dtype (fp32 accumulation)."""
+                 block_n: int | None = None, block_k2: int | None = None,
+                 out_dtype=None) -> jnp.ndarray:
+    """x [S, K] @ split-halves W4 [K, N] -> [S, N] in out_dtype (default x.dtype;
+    fp32 accumulation either way — fp32 out is exact, used for lm_head logits)."""
     S, K = x.shape
     K2, N = q.w8.shape
     G = q.scales.shape[0]
@@ -136,7 +138,7 @@ def w4a16_matmul(x: jnp.ndarray, q, interpret: bool = False,
             pl.BlockSpec((bg, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((S_pad, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((S_pad, N), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((S_pad, N), out_dtype or x.dtype),
         scratch_shapes=[pltpu.VMEM((S_pad, bn), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * S_pad * K * N,

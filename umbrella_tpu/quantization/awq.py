@@ -130,23 +130,34 @@ def _use_pallas() -> bool:
 
 
 def awq_matmul(x: jnp.ndarray, q: AwqTensor, bias: Optional[jnp.ndarray] = None,
-               prefer_fused: Optional[bool] = None) -> jnp.ndarray:
-    """y = x @ W for split-halves W4 weights; x [..., K] -> [..., N].
+               prefer_fused: Optional[bool] = None, out_dtype=None,
+               act_int8: bool = False) -> jnp.ndarray:
+    """y = x @ W for split-halves W4 weights; x [..., K] -> [..., N] in out_dtype
+    (default x.dtype; fp32 accumulation either way).
 
     Size heuristic mirrors the reference (`awq_utils.py:67-77`): big token counts
     dequantize once and ride the MXU in bf16; small counts use the fused kernel.
+    `act_int8` opts the fused path into the W4A8 kernel (int8 activations on the
+    2x-rate int8 MXU, ops/pallas/w4a8.py); the many-token dequant path stays bf16
+    (prefill is MXU-efficient already, and bf16 there costs no extra HBM reads).
     """
     tokens = int(np.prod(x.shape[:-1]))
     if prefer_fused is None:
         prefer_fused = tokens < FP16_MATMUL_HEURISTIC_TOKENS and _use_pallas()
     if prefer_fused:
-        from ..ops.pallas.w4a16 import w4a16_matmul
+        if act_int8:
+            from ..ops.pallas.w4a8 import w4a8_matmul
 
-        y = w4a16_matmul(x.reshape(tokens, x.shape[-1]), q)
+            y = w4a8_matmul(x.reshape(tokens, x.shape[-1]), q, out_dtype=out_dtype)
+        else:
+            from ..ops.pallas.w4a16 import w4a16_matmul
+
+            y = w4a16_matmul(x.reshape(tokens, x.shape[-1]), q, out_dtype=out_dtype)
         y = y.reshape(*x.shape[:-1], q.n)
     else:
         w = dequantize(q, dtype=x.dtype)
-        y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        y = y.astype(out_dtype or x.dtype)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y

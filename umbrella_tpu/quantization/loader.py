@@ -112,9 +112,14 @@ def load_awq_runtime(path: str, cfg: ModelConfig, max_length: int, dtype=jnp.bfl
                         n_layers=n_layers, model_name=path)
 
 
-def quantize_params(params: dict, group_size: int = 128, dtype=jnp.bfloat16) -> dict:
+def quantize_params(params: dict, group_size: int = 128, dtype=jnp.bfloat16,
+                    quantize_lm_head: bool = False) -> dict:
     """AWQ-quantize an fp llama-family param pytree (linear weights only; handles
-    both packed and unpacked layouts)."""
+    both packed and unpacked layouts).
+
+    `quantize_lm_head` also W4-quantizes an untied lm_head — a TPU extension the
+    reference lacks (AutoAWQ keeps heads fp16): the untied 8B head alone is ~1 GB
+    in bf16 (~1.4 ms/decode-step of pure HBM traffic)."""
     out_layers = dict(params["layers"])
     n = params["layers"]["input_norm"].shape[0]
     names = [k for k in ("wq", "wk", "wv", "wo", "gate", "up", "down",
@@ -128,4 +133,24 @@ def quantize_params(params: dict, group_size: int = 128, dtype=jnp.bfloat16) -> 
         out_layers[name] = _stack_awq(ts)
     out = dict(params)
     out["layers"] = out_layers
+    if quantize_lm_head and "lm_head" in params:
+        int_w, int_z, scales = quantize_matrix(
+            np.asarray(params["lm_head"], np.float32), group_size)
+        out["lm_head"] = pack_tpu_layout(int_w, int_z, scales, dtype=dtype)
     return out
+
+
+def quantize_runtime(runtime, group_size: int = 128, dtype=jnp.bfloat16,
+                     quantize_lm_head: bool = False):
+    """W4-quantize a loaded ModelRuntime in place of its fp weights — e.g. the
+    DRAFT model: on TPU the draft re-reads all its weights once per tree level
+    (6 levels x 1 GB for a bf16 500M draft ~ 8 ms/step), so a W4 draft cuts
+    tree-build time ~4x. The reference has no quantized-draft path (its drafts
+    are AWQ checkpoints or fp16)."""
+    from ..models.auto_model import ModelRuntime
+
+    params = quantize_params(runtime.params, group_size=group_size, dtype=dtype,
+                             quantize_lm_head=quantize_lm_head)
+    return ModelRuntime(runtime.cfg, params, runtime.max_length, dtype=dtype,
+                        family=runtime.family, n_layers=runtime.args.n_layers,
+                        model_name=runtime.model_name)

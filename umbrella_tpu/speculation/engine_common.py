@@ -67,6 +67,16 @@ class SpecEngineBase(BaseEngine):
 
     def _init_models_and_state(self):
         self.draft_model = self._load_model(self.draft_model_name, offload=False)
+        if self.config.get("quantize_draft", False):
+            # W4-quantize an fp draft in process (TPU extension; the draft re-reads
+            # all its weights once per tree level, so W4 cuts build_tree HBM
+            # traffic ~4x). No-op for drafts that are already AWQ checkpoints.
+            from ..quantization.awq import AwqTensor
+            from ..quantization.loader import quantize_runtime
+
+            lw = self.draft_model.params["layers"]
+            if not any(isinstance(v, AwqTensor) for v in lw.values()):
+                self.draft_model = quantize_runtime(self.draft_model, dtype=self.dtype)
         self.target_model = self._load_model(
             self.target_model_name, offload=self.config.get("offload", False))
 

@@ -80,6 +80,15 @@ class GrowMap:
 
     @classmethod
     def from_json(cls, path: str) -> "GrowMap":
+        import os
+
+        if not os.path.exists(path):
+            # bundled-tree fallback: bare names or reference-style
+            # "umbrella/trees/x.json" paths resolve to our packaged trees/
+            cand = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                                "trees", os.path.basename(path))
+            if os.path.exists(cand):
+                path = cand
         with open(path) as f:
             return cls.from_dict(json.load(f))
 
