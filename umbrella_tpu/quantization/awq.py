@@ -55,7 +55,10 @@ def pack_awq_numpy(int_weights: np.ndarray, int_zeros: np.ndarray, bits: int = 4
         idx = (np.arange(x.shape[1]).reshape(-1, 8)[:, AWQ_ORDER]).reshape(-1)
         x = x[:, idx].astype(np.uint32).reshape(x.shape[0], -1, 8)
         shifts = np.arange(0, 32, bits, dtype=np.uint32)
-        return (x << shifts[None, None, :]).sum(-1).astype(np.uint32).view(np.int32)
+        out = (x << shifts[None, None, :]).sum(-1).astype(np.uint32).view(np.int32)
+        # numpy's reduce can emit F-ordered output (order-'K'); serializers like
+        # safetensors write the raw buffer, so hand back C-contiguous data.
+        return np.ascontiguousarray(out)
 
     return pack(int_weights), pack(int_zeros)
 
