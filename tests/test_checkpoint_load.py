@@ -108,6 +108,38 @@ def test_fp_dir_offload_matches_resident(tmp_path):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_qwen_padded_vocab_is_trimmed(tmp_path):
+    """Qwen2.5 checkpoints pad the embedding (152064 stored, 151936 served,
+    reference qwen.py:12,27,47): the registry caps cfg.vocab_size and the loaders
+    slice embed/lm_head, so logits match HF's on the served vocab."""
+    import torch
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    from umbrella_tpu.models.auto_model import QWEN25_VOCAB
+
+    torch.manual_seed(3)
+    hf_cfg = Qwen2Config(
+        vocab_size=QWEN25_VOCAB + 128, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=512, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    model = Qwen2ForCausalLM(hf_cfg)
+    model.eval()
+    model.save_pretrained(str(tmp_path), safe_serialization=True)
+
+    rt = AutoModelLM.from_pretrained(str(tmp_path), max_length=MAX_LEN,
+                                     dtype=jnp.float32)
+    assert rt.cfg.vocab_size == QWEN25_VOCAB
+    assert rt.params["embed"].shape[0] == QWEN25_VOCAB
+    assert rt.params["lm_head"].shape[-1] == QWEN25_VOCAB
+
+    ids = np.random.default_rng(4).integers(0, QWEN25_VOCAB, size=6)
+    got = _run(rt, ids)
+    ref = _ref_logits(model, ids)[:, :QWEN25_VOCAB]
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
 def _write_awq_dir(tmp_path, cfg: ModelConfig, group_size=64, seed=0):
     """Write an AutoAWQ-GEMM-format checkpoint dir (the on-disk format of e.g.
     hugging-quants/Meta-Llama-3.1-8B-Instruct-AWQ-INT4)."""

@@ -23,6 +23,9 @@ from .kv_cache import KVCache, init_kv_cache
 from .llama import StaticModelArgs, init_llama_params, llama_forward
 from .weights import load_llama_params
 
+# Qwen2.5 serving vocab (checkpoints pad the embedding past it; ref qwen.py:12).
+QWEN25_VOCAB = 151936
+
 # Known model ids (parity with reference's _MODEL_MAPPING families).
 _KNOWN_FAMILIES = {
     "llama": [
@@ -142,6 +145,11 @@ class AutoModelLM:
     ) -> ModelRuntime:
         cfg = ModelConfig.from_pretrained(model_name)
         family = resolve_family(model_name, cfg)
+        if family == "qwen2":
+            # Qwen2.5 checkpoints pad the embedding (e.g. 152064 stored); serve the
+            # real 151936-token vocab so draft/target token ids always align
+            # (reference hardcodes this trim, ref qwen.py:12,27,47).
+            cfg.vocab_size = min(cfg.vocab_size, QWEN25_VOCAB)
         n_layers = exit_layer if (exit_layer and exit_layer > 0) else None
 
         if cfg.quantization and cfg.quantization.get("method") == "awq":

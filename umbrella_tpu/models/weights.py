@@ -48,6 +48,16 @@ def _to_jnp(a: np.ndarray, dtype) -> jnp.ndarray:
     return jnp.asarray(a).astype(dtype)
 
 
+def trim_vocab_rows(a: np.ndarray, vocab: int) -> np.ndarray:
+    """Slice a [V_ckpt, ...] embedding/lm_head matrix down to the serving vocab.
+
+    Qwen2.5 checkpoints store a padded embedding (152064 rows) but serve 151936
+    tokens (reference trims with a hardcoded constant, ref `qwen.py:12,27,47`);
+    the registry lowers cfg.vocab_size and loaders slice here. No-op when the
+    checkpoint matches."""
+    return a[:vocab] if a.shape[0] > vocab else a
+
+
 def load_llama_params(
     path: str,
     cfg: ModelConfig,
@@ -128,11 +138,12 @@ def params_from_hf_state_dict(
             layers["bv"] = stack_vec(P + "layers.{}.self_attn.v_proj.bias")
 
     params = {
-        "embed": _to_jnp(get(P + "embed_tokens.weight"), dtype),
+        "embed": _to_jnp(trim_vocab_rows(get(P + "embed_tokens.weight"), cfg.vocab_size), dtype),
         "final_norm": _to_jnp(get(P + "norm.weight"), dtype),
         "layers": layers,
         **rope_params(cfg),
     }
     if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
-        params["lm_head"] = _to_jnp(get("lm_head.weight").T, dtype)
+        params["lm_head"] = _to_jnp(
+            trim_vocab_rows(get("lm_head.weight"), cfg.vocab_size).T, dtype)
     return params

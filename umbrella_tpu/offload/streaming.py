@@ -159,13 +159,17 @@ class OffloadModelRuntime:
             a = sd[name]
             return a.astype(np.float32) if a.dtype == np.float16 else a
 
+        from ..models.weights import trim_vocab_rows
+
         top = {
-            "embed": jnp.asarray(top_get("model.embed_tokens.weight")).astype(dtype),
+            "embed": jnp.asarray(trim_vocab_rows(
+                top_get("model.embed_tokens.weight"), cfg.vocab_size)).astype(dtype),
             "final_norm": jnp.asarray(top_get("model.norm.weight")).astype(dtype),
             **rope_params(cfg),
         }
         if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
-            top["lm_head"] = jnp.asarray(top_get("lm_head.weight").T).astype(dtype)
+            top["lm_head"] = jnp.asarray(trim_vocab_rows(
+                top_get("lm_head.weight"), cfg.vocab_size).T).astype(dtype)
         return cls(cfg, top, host_layers, max_length, dtype=dtype, family=family,
                    num_cache_layers=num_cache_layers, model_name=model_name)
 

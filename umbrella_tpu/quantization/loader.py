@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig
-from ..models.weights import _load_state_dict_np, _to_jnp
+from ..models.weights import _load_state_dict_np, _to_jnp, trim_vocab_rows
 from ..ops.rope import rope_params
 from .awq import AwqTensor, awq_from_hf_tensors, concat_awq, pack_tpu_layout, quantize_matrix
 
@@ -84,13 +84,14 @@ def awq_params_from_hf_state_dict(
             layers["bv"] = stack_vec(qkv_fmts[2] + ".bias")
 
     params = {
-        "embed": _to_jnp(fp(P + "embed_tokens.weight"), dtype),
+        "embed": _to_jnp(trim_vocab_rows(fp(P + "embed_tokens.weight"), cfg.vocab_size), dtype),
         "final_norm": _to_jnp(fp(P + "norm.weight"), dtype),
         "layers": layers,
         **rope_params(cfg),
     }
     if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
-        params["lm_head"] = _to_jnp(fp("lm_head.weight").T, dtype)
+        params["lm_head"] = _to_jnp(
+            trim_vocab_rows(fp("lm_head.weight"), cfg.vocab_size).T, dtype)
     return params
 
 
