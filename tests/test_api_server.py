@@ -48,3 +48,55 @@ def test_server_client_roundtrip():
         client.close()
     finally:
         server.shutdown()
+
+
+def test_server_continuous_batching_concurrent_clients():
+    """Two clients served CONCURRENTLY through the multi-slot engine; each gets the
+    same tokens the single-slot greedy engine would produce (slot isolation)."""
+    from umbrella_tpu.serving.batched_engine import (
+        BatchedStaticEngine, ContinuousBatcher)
+
+    target = random_runtime(_cfg(), MAX_LEN, seed=0)
+    draft = random_runtime(_cfg(), MAX_LEN, seed=1)
+    gm = growmap_from_spec(3, 4)
+
+    # single-slot oracle
+    ref_eng = StaticEngine(
+        draft_model_name=draft, target_model_name=target, dtype=jnp.float32,
+        growmap=gm, max_length=MAX_LEN, safe_buffer=32, eos_token_ids=[-1])
+    ref_eng.initialize()
+    prompts = ([1, 5, 9, 12], [2, 7, 3])
+    refs = [ref_eng.generate(input_ids=list(p), max_new_tokens=8)["generated_tokens"]
+            for p in prompts]
+
+    beng = BatchedStaticEngine(
+        draft_model_name=draft, target_model_name=target, batch_size=2,
+        dtype=jnp.float32, growmap=gm, max_length=MAX_LEN, safe_buffer=32,
+        eos_token_ids=[-1], tokenizer=_FakeTokenizer())
+    beng.initialize()
+    batcher = ContinuousBatcher(beng)
+
+    server = APIServer(config={}, port=0, batcher=batcher)
+    server.start()
+    try:
+        results = {}
+
+        def one_client(i, prompt):
+            c = APIClient(port=server.port, retry_seconds=0.2)
+            c.run()
+            results[i] = c.get_output(input_ids=list(prompt), max_new_tokens=8)
+            c.close()
+
+        threads = [threading.Thread(target=one_client, args=(i, p))
+                   for i, p in enumerate(prompts)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i, ref in enumerate(refs):
+            assert results[i]["processed"] is True
+            got = results[i]["generated_tokens"]
+            n = min(len(got), len(ref))
+            assert n >= 8 and got[:n] == list(ref)[:n], (i, got, ref)
+    finally:
+        server.shutdown()

@@ -1,9 +1,15 @@
 """Socket API server (reference `umbrella/api/server.py`).
 
-Thread per connection feeding a queue; a single worker thread serializes requests
-into `engine.generate(**message)` — the TPU never sees concurrency, matching the
-reference's one-request-at-a-time contract (`server.py:43-55`). `{"terminate": true}`
-closes a connection.
+Thread per connection feeding a queue; by default a single worker thread serializes
+requests into `engine.generate(**message)` — the TPU never sees concurrency, matching
+the reference's one-request-at-a-time contract (`server.py:43-55`). `{"terminate":
+true}` closes a connection.
+
+Beyond the reference: `"engine": "batched_static"` in the config (or an injected
+`batcher`) switches to continuous batching — concurrent clients' requests are
+admitted into the multi-slot engine's free slots and decode TOGETHER in one compiled
+step (serving/batched_engine.py); responses return per-request as slots finish. The
+reference cannot do this (its KV cache has no batch dim, ref `attn/cache.py:18-34`).
 """
 from __future__ import annotations
 
@@ -20,16 +26,19 @@ logger = setup_logger()
 
 class APIServer:
     def __init__(self, config: dict, device=None, port: int = 65432,
-                 max_client: int = 4, host: str = "127.0.0.1", engine=None):
+                 max_client: int = 4, host: str = "127.0.0.1", engine=None,
+                 batcher=None):
         self.port = port
         self.max_client = max_client
         self.host = host
         self.device = device
         self.config = config
         self.engine = engine  # injectable for tests
+        self.batcher = batcher  # injectable: ContinuousBatcher => concurrent serving
 
     def handle_client(self, conn, addr):
         logger.info(TextColors.colorize(f"Connection from {addr}", "cyan"))
+        send_lock = threading.Lock()  # batched futures may complete out of order
         try:
             send_data(conn, {"status": "connected", "message": "Welcome to the server!"})
             while True:
@@ -39,7 +48,13 @@ class APIServer:
                         f"Received dictionary from {addr}", "cyan"))
                     if received.get("terminate", False):
                         break
-                    self.message_queue.put((addr, conn, received))
+                    if self.batcher is not None:
+                        fut = self.batcher.submit(**received)
+                        fut.add_done_callback(
+                            lambda f, c=conn, a=addr, lk=send_lock:
+                            self._send_result(c, a, lk, f))
+                    else:
+                        self.message_queue.put((addr, conn, received))
                 except Exception as e:
                     logger.error(TextColors.colorize(
                         f"Error handling data from {addr}: {e}", "red"))
@@ -47,6 +62,16 @@ class APIServer:
         finally:
             conn.close()
             logger.info(TextColors.colorize(f"Connection with {addr} closed", "cyan"))
+
+    def _send_result(self, conn, addr, send_lock, fut):
+        processed = {**fut.result(), "processed": True,
+                     "response": "Processed successfully"}
+        try:
+            with send_lock:
+                send_data(conn, processed)
+        except Exception as e:
+            logger.error(TextColors.colorize(
+                f"Error sending data to {addr}: {e}", "red"))
 
     def process_queue(self):
         while True:
@@ -65,9 +90,18 @@ class APIServer:
 
     def start(self):
         """Initialize engine + listener and spawn worker threads (non-blocking)."""
-        if self.engine is None:
-            self.engine = AutoEngine.from_config(self.device, **self.config)
-            self.engine.initialize()
+        if self.engine is None and self.batcher is None:
+            batched = self.config.get("engine") == "batched_static"
+            engine = AutoEngine.from_config(self.device, **self.config)
+            engine.initialize()
+            if batched:
+                from ..serving.batched_engine import ContinuousBatcher
+
+                self.batcher = ContinuousBatcher(engine)
+            else:
+                self.engine = engine
+        if self.batcher is not None and getattr(self.batcher, "_thread", None) is None:
+            self.batcher.start()
         self.server_socket = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self.server_socket.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.server_socket.bind((self.host, self.port))
@@ -77,7 +111,8 @@ class APIServer:
         logger.info(TextColors.colorize("umbrella_tpu LLM server started", "cyan"))
         self.message_queue = Queue()
         self.queue_lock = threading.Lock()
-        threading.Thread(target=self.process_queue, daemon=True).start()
+        if self.batcher is None:
+            threading.Thread(target=self.process_queue, daemon=True).start()
         self._accept_thread = threading.Thread(target=self._accept_loop, daemon=True)
         self._accept_thread.start()
 
@@ -97,6 +132,8 @@ class APIServer:
 
     def shutdown(self):
         try:
+            if self.batcher is not None:
+                self.batcher.shutdown()
             self.message_queue.put((None, None, None))
             self.server_socket.close()
         except Exception:
