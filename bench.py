@@ -105,13 +105,16 @@ def main():
             rope_theta=500000.0, max_position_embeddings=max_len,
             tie_word_embeddings=True, eos_token_id=-100,
         )
+        # W4 head for the tied draft too: the logits matmul re-reads the full
+        # [1536, 128256] head every tree level (~0.5 ms/level of HBM in bf16)
         draft_500m = random_awq_runtime(draft_500m_cfg, max_len, dtype=jnp.bfloat16,
-                                        seed=3)
-        # 65-node tree: W4A16 verify is MXU-latency-bound and FLAT in tree size up
-        # to ~128 nodes (ops/pallas/w4a16.py), so the bigger tree costs ~nothing
-        # per step and raises real-model acceptance vs the reference's 31-node tree
+                                        seed=3, quantize_lm_head=True)
+        # 127-node depth-6 tree: W4A16 verify is MXU-latency-bound and FLAT in tree
+        # size up to ~128 nodes (ops/pallas/w4a16.py) so nodes are ~free, while
+        # draft build cost scales with DEPTH (levels) — wide-and-shallow beats the
+        # reference's 31-node 5x6 on both axes
         gm_awq = growmap_from_spec(
-            8, 8, acc=[0.55, 0.2, 0.1, 0.06, 0.05, 0.04, 0.03, 0.025])
+            24, 6, acc=[0.55, 0.2, 0.1, 0.06, 0.05, 0.04])
         eng2 = StaticEngine(
             draft_model_name=draft_500m, target_model_name=awq_target,
             dtype=jnp.bfloat16, growmap=gm_awq, max_length=max_len,
@@ -130,7 +133,7 @@ def main():
         awq_detail = {
             "awq8b_tokens_per_sec": round(dec2 / dt2, 2),
             "awq8b_decode_step_ms": round(1000 * dt2 / steps2, 2),
-            "awq8b_setup": "W4 draft + W4 lm_head + 65-node tree",
+            "awq8b_setup": "W4 draft (incl. tied head) + W4 lm_head + 127-node 24x6 tree",
         }
     except Exception as e:  # keep the primary metric even if the 8B run fails
         awq_detail = {"awq8b_error": f"{type(e).__name__}: {e}"[:200]}

@@ -237,4 +237,8 @@ def random_awq_runtime(
         else:
             params["lm_head"] = jnp.asarray(
                 (rng.standard_normal((H, V)) * 0.02).astype(np.float32)).astype(dtype)
+    elif quantize_lm_head:
+        # tied config: a W4 head (instead of the bf16 embed.T logits matmul) —
+        # mirrors quantize_params' tied-head path for benchmark shapes
+        params["lm_head"] = q(H, V, stack=False)
     return ModelRuntime(cfg, params, max_length, dtype=dtype, n_layers=n_layers)

@@ -55,9 +55,15 @@ def _w4a8_kernel(xq_lo_ref, xq_hi_ref, sx_ref, w8_ref, s_lo_ref, z_lo_ref,
         sl = slice(g * group_size, (g + 1) * group_size)
         for xq_ref, w, s_ref, z_ref in ((xq_lo_ref, lo, s_lo_ref, z_lo_ref),
                                         (xq_hi_ref, hi, s_hi_ref, z_hi_ref)):
-            wg = w[sl] - z_ref[g][None, :].astype(jnp.int8)  # [-15, 15]
-            p = jnp.dot(xq_ref[:, sl], wg, preferred_element_type=jnp.int32)
-            acc += p.astype(jnp.float32) * s_ref[g][None, :].astype(jnp.float32)
+            # Fold the zero point in AFTER the MXU: xq @ (w - z) == xq @ w -
+            # rowsum(xq) * z. Keeps raw nibbles (0..15) as the int8 MXU operand —
+            # Mosaic has no int8 vector subtract (arith.subi fails to legalize).
+            xg = xq_ref[:, sl]
+            p = jnp.dot(xg, w[sl], preferred_element_type=jnp.int32)
+            rs = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True)
+            pf = (p.astype(jnp.float32)
+                  - rs.astype(jnp.float32) * z_ref[g][None, :].astype(jnp.float32))
+            acc += pf * s_ref[g][None, :].astype(jnp.float32)
     acc_ref[:] += acc
 
     @pl.when(k == n_k - 1)

@@ -134,9 +134,16 @@ def quantize_params(params: dict, group_size: int = 128, dtype=jnp.bfloat16,
         out_layers[name] = _stack_awq(ts)
     out = dict(params)
     out["layers"] = out_layers
-    if quantize_lm_head and "lm_head" in params:
-        int_w, int_z, scales = quantize_matrix(
-            np.asarray(params["lm_head"], np.float32), group_size)
+    if quantize_lm_head:
+        if "lm_head" in params:
+            head = np.asarray(params["lm_head"], np.float32)
+        else:
+            # tied embeddings: materialize a W4 head from embed.T — the logits
+            # matmul re-reads the full [H, V] matrix every draft level (e.g.
+            # 394 MB bf16 for a 1536x128256 draft ~ 0.5 ms/level of HBM), while
+            # embed lookups only read S rows and keep using the bf16 embed.
+            head = np.asarray(params["embed"], np.float32).T
+        int_w, int_z, scales = quantize_matrix(head, group_size)
         out["lm_head"] = pack_tpu_layout(int_w, int_z, scales, dtype=dtype)
     return out
 

@@ -51,34 +51,37 @@ def generate_sequoia_tree(
         acc = DEFAULT_ACC
     log_acc = np.log(np.asarray(acc, dtype=np.float64))
     num_beams = len(log_acc)
-    size = width * depth + 1
 
     roots: List[List[int]] = [[0]]
     branches: List[List[int]] = [[0]]
     successors: List[List[int]] = [[]]
     depths: List[int] = [0]
     frontier_scores = np.zeros(1)
+    total = 1
 
     for lvl in range(depth):
         frontier = roots[lvl]
-        # candidate (parent, beam) grid
+        # candidate (parent, beam) grid; a level can have at most
+        # len(frontier)*num_beams children, so wide trees (width > num_beams)
+        # widen over the first levels instead of leaving phantom slots.
         cand_scores = frontier_scores[:, None] + log_acc[None, :]
         flat = cand_scores.reshape(-1)
-        top = np.argsort(-flat, kind="stable")[:width]
+        k = min(width, flat.size)
+        top = np.argsort(-flat, kind="stable")[:k]
         parents_local = top // num_beams  # index into frontier
 
-        new_ids = list(range(lvl * width + 1, (lvl + 1) * width + 1))
+        new_ids = list(range(total, total + k))
+        total += k
         roots.append(new_ids)
-        branches.append([0] * len(frontier))
-        branches[lvl + 1] = [0] * width  # will be filled next iteration (leaf level: 0)
-        depths.extend([lvl + 1] * width)
-        successors.extend([[] for _ in range(width)])
+        branches.append([0] * k)  # leaf level stays 0; overwritten next iteration
+        depths.extend([lvl + 1] * k)
+        successors.extend([[] for _ in range(k)])
 
         # Assign children to parents in sorted-parent order so node ids are grouped
         # by parent (the property the engine's per-level gather relies on).
         order = np.argsort(parents_local, kind="stable")
         lvl_branch = [0] * len(frontier)
-        new_scores = np.empty(width)
+        new_scores = np.empty(k)
         for slot, oi in enumerate(order):
             p_local = int(parents_local[oi])
             child = new_ids[slot]
@@ -94,7 +97,7 @@ def generate_sequoia_tree(
         "Successors": successors,
         "mask": successor_list_to_mask(successors),
         "depth": depths,
-        "size": size,
+        "size": total,
     }
     if json_file:
         with open(json_file, "w") as f:

@@ -76,7 +76,10 @@ class SpecEngineBase(BaseEngine):
 
             lw = self.draft_model.params["layers"]
             if not any(isinstance(v, AwqTensor) for v in lw.values()):
-                self.draft_model = quantize_runtime(self.draft_model, dtype=self.dtype)
+                # quantize_lm_head: the head matmul is the draft's biggest HBM
+                # read per level (full [H, V], even when tied) — W4 it too.
+                self.draft_model = quantize_runtime(
+                    self.draft_model, dtype=self.dtype, quantize_lm_head=True)
         self.target_model = self._load_model(
             self.target_model_name, offload=self.config.get("offload", False))
 
