@@ -48,9 +48,13 @@ def main():
     draft = random_runtime(draft_cfg, max_len, dtype=dtype, seed=1)
 
     gm = growmap_from_spec(5, 6, acc=[0.55, 0.2, 0.1, 0.06, 0.05, 0.04])
+    # quantize_draft: W4-quantize the bf16 draft in process (incl. its tied lm_head
+    # — the [768, 128256] head alone re-reads ~200 MB bf16 per tree level). Draft
+    # quantization never changes greedy output (only proposals; verify is lossless).
     eng = StaticEngine(
         draft_model_name=draft, target_model_name=target, dtype=dtype,
-        growmap=gm, max_length=max_len, eos_token_ids=[-100], temperature=0.0)
+        growmap=gm, max_length=max_len, eos_token_ids=[-100], temperature=0.0,
+        quantize_draft=True)
     eng.initialize()
 
     rng = np.random.default_rng(0)

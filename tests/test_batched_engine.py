@@ -135,3 +135,38 @@ def test_batched_stochastic_step_runs(models):
     out = eng.step(temperature=[0.8, 0.0], topp=[0.9, 0.9], penalty=[1.1, 1.0])
     assert set(out) == {0, 1}
     assert all(a >= 1 for a, _ in out.values())
+
+
+def test_step_many_segment_matches_stepwise(models):
+    """A fused 4-step segment must leave identical state (tokens/num_nodes) to
+    four individual step() calls, and respect per-slot stop_at budgets."""
+    draft, target = models
+    eng_a = _batched_engine(models, B=2)
+    eng_b = _batched_engine(models, B=2)
+    prompts = [[1, 17, 42, 9], [3, 3, 7]]
+    for b, p in enumerate(prompts):
+        assert eng_a.admit(b, p) and eng_b.admit(b, p)
+    for _ in range(4):
+        eng_a.step()
+    stop_at = [int(eng_b.num_nodes[b]) + 1000 for b in range(2)]
+    steps = eng_b.step_many(4, stop_at)
+    assert list(steps) == [4, 4]
+    assert list(eng_a.num_nodes) == list(eng_b.num_nodes)
+    for b in range(2):
+        nn = int(eng_a.num_nodes[b])
+        assert eng_a.tokens_host[b, :nn + 1].tolist() == \
+            eng_b.tokens_host[b, :nn + 1].tolist(), f"slot {b}"
+    # budget stop: slot 0 gets a tiny budget, slot 1 keeps going
+    eng_c = _batched_engine(models, B=2)
+    st = []
+    for b, p in enumerate(prompts):
+        assert eng_c.admit(b, p)
+        st.append(int(eng_c.num_nodes[b]))
+    eng_c.step_many(6, [st[0] + 2, st[0] + 10**6])
+    assert not eng_c.active[0]          # budget hit -> deactivated on device
+    assert int(eng_c.num_nodes[0]) >= st[0] + 2
+    assert eng_c.active[1]
+    # outputs still match the AR oracle
+    toks = eng_c.tokens_host[0, st[0]: int(eng_c.num_nodes[0]) + 1].tolist()
+    oracle = _greedy_ar_decode(target, prompts[0], len(toks))
+    assert toks == oracle[: len(toks)]

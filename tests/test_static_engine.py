@@ -200,3 +200,27 @@ def test_large_tree_greedy_parity(runtimes):
     produced = eng.tokens_host[start : eng.num_nodes + 1].tolist()
     oracle = _greedy_ar_decode(target, prompt, len(produced))
     assert produced == oracle[: len(produced)]
+
+
+def test_wide_tree_generator_widens_over_levels():
+    """width > len(acc): levels widen as beams allow (1,6,24,...) with no phantom
+    slots, node ids stay contiguous and parent-grouped per level."""
+    from umbrella_tpu.sequoia import generate_sequoia_tree
+
+    acc = [0.55, 0.2, 0.1, 0.06, 0.05, 0.04]
+    t = generate_sequoia_tree(24, 6, acc=acc)
+    assert t["size"] == 127  # 1 + 6 + 24*5
+    assert [len(r) for r in t["roots"]] == [1, 6, 24, 24, 24, 24, 24]
+    assert t["size"] == len(t["depth"]) == len(t["Successors"])
+    # ids contiguous per level
+    flat = [n for lvl in t["roots"] for n in lvl]
+    assert flat == list(range(t["size"]))
+    # every non-root node has exactly one parent; children grouped by parent
+    gm = growmap_from_spec(24, 6, acc=acc)
+    gm.validate()
+    for lvl in range(gm.num_levels - 1):
+        assert gm.total_branch(lvl) == len(gm.roots[lvl + 1])
+    # bundled 24x6 tree file matches the generator
+    bundled = GrowMap.from_json("sequoia_tree-24x6.json")
+    bundled.validate()
+    assert bundled.size == 127

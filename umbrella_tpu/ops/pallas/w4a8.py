@@ -21,6 +21,15 @@ model's AR decode (the losslessness anchor), which per-tile quant would break.
 No reference analogue: the reference's AWQ path is W4A16 only
 (`umbrella/quantization/awq_utils.py:63-86`). This is a TPU-native extension,
 opt-in via `ModelConfig.awq_act = "int8"`.
+
+MEASURED (v5e, slope method, S=128 K=4096 N=28672): 0.229 ms/op vs w4a16's
+0.172 ms — SLOWER despite the 2x int8 MXU rate. The per-group structure forces
+64 sequential K=128-depth dots with fp32 VPU accumulation between them, wasting
+MXU pipeline depth, while w4a16 dequantizes weight tiles elementwise and issues
+full-K bf16 dots (88% of its MXU floor). A faster int8 path would need whole-K
+int8 dots, which per-group scales forbid (scales are per (group, n) and cannot
+move to the activation side). Kept opt-in for experimentation; W4A16 remains
+the default and the faster kernel at all measured tree sizes.
 """
 from __future__ import annotations
 

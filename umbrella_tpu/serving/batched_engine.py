@@ -59,6 +59,8 @@ class BatchedStaticEngine:
         self.max_length = kwargs.pop("max_length", 4096)
         self.safe_buffer = kwargs.pop("safe_buffer", 64)
         self.topk = kwargs.pop("topk", 32)  # static (tree-verify top-k filter width)
+        # decode steps fused into ONE dispatch between host syncs (admission points)
+        self.segment_steps = kwargs.pop("segment_steps", 8)
         self.tokenizer = kwargs.pop("tokenizer", None)
         self.eos_token_ids = kwargs.pop("eos_token_ids", None)
         self.seed = kwargs.pop("seed", 0)
@@ -80,6 +82,8 @@ class BatchedStaticEngine:
         gm.validate()
         self.growmap = gm
         self.tree_size = gm.size
+        # Stop margin must cover a whole tree write (see static_engine.initialize).
+        self.safe_buffer = max(self.safe_buffer, self.tree_size + 1)
 
         self.draft_model = self._load(self.draft_model_name)
         self.target_model = self._load(self.target_model_name)
@@ -251,6 +255,48 @@ class BatchedStaticEngine:
 
         self._get_step = get_step
 
+        # ---- fused decode segment: n_steps batched steps in ONE dispatch --------
+        # The per-step host sync of step() (3 fetches) is the batched analogue of
+        # the single-slot per-step dispatch problem _decode_fused solves; a segment
+        # runs n steps under lax.scan with device-side per-slot stopping (EOS |
+        # budget via stop_at | context cap) and syncs the host once, at admission
+        # granularity.
+        def step_many_fn(pd, pt, kv_d, kv_t, tokens, nn, active, key,
+                         temperature_vec, topp_vec, penalty_vec, stop_at, consts,
+                         *, use_pen, n_steps):
+            def body(carry, _):
+                tokens, kv_d, kv_t, nn, active, key, steps = carry
+                key, sub = jax.random.split(key)
+                tokens, kv_d, kv_t, nn_new, _alen, _block, eos = step_fn(
+                    pd, pt, kv_d, kv_t, tokens, nn, active, sub,
+                    temperature_vec, topp_vec, penalty_vec, consts,
+                    use_pen=use_pen)
+                steps = steps + active.astype(jnp.int32)
+                # Deactivate within one tree of the cap: past that point step_fn
+                # cap-gates alen to 0 and the slot would idle forever.
+                active = (active & ~eos & (nn_new < stop_at)
+                          & (nn_new + T + 1 <= cap))
+                return (tokens, kv_d, kv_t, nn_new, active, key, steps), ()
+
+            init = (tokens, kv_d, kv_t, nn, active, key, jnp.zeros(B, jnp.int32))
+            (tokens, kv_d, kv_t, nn, active, key, steps), _ = jax.lax.scan(
+                body, init, None, length=n_steps)
+            meta = jnp.stack([nn, active.astype(jnp.int32), steps])
+            return tokens, kv_d, kv_t, meta
+
+        self._step_many_cache = {}
+
+        def get_step_many(use_pen, n_steps):
+            k = (use_pen, n_steps)
+            if k not in self._step_many_cache:
+                self._step_many_cache[k] = jax.jit(
+                    functools.partial(step_many_fn, use_pen=use_pen,
+                                      n_steps=n_steps),
+                    donate_argnums=(2, 3, 4))
+            return self._step_many_cache[k]
+
+        self._get_step_many = get_step_many
+
         def prefill_chunk_fn(pd, pt, kv_d, kv_t, tokens, prompt, slot, start,
                              n_valid, *, bucket, emit):
             tokens = jax.lax.dynamic_update_slice(tokens, prompt[None], (slot, start))
@@ -348,17 +394,55 @@ class BatchedStaticEngine:
             results[b] = (a, bool(eos[b]))
         return results
 
+    def step_many(self, n_steps: int, stop_at, temperature=None, topp=None,
+                  penalty=None) -> np.ndarray:
+        """Run `n_steps` batched decode steps in ONE dispatch (lax.scan).
+
+        stop_at[b] is the absolute committed length at which slot b stops
+        (admission length + its token budget). Per-slot stopping (EOS, budget,
+        context cap) happens on device; the host syncs once at the end, updating
+        num_nodes/active/tokens_host wholesale. Returns per-slot step counts
+        (steps where the slot was active) for accept-rate accounting."""
+        B = self.batch_size
+        tv = np.zeros(B, np.float32) if temperature is None \
+            else np.asarray(temperature, np.float32)
+        pv = np.full(B, 0.9, np.float32) if topp is None \
+            else np.asarray(topp, np.float32)
+        rv = np.ones(B, np.float32) if penalty is None \
+            else np.asarray(penalty, np.float32)
+        use_pen = bool(np.any(rv > 1.01))
+        self._key, sub = jax.random.split(self._key)
+        fn = self._get_step_many(use_pen, int(n_steps))
+        out = fn(self.draft_model.params, self.target_model.params,
+                 self.kv_draft, self.kv_target, self.tokens,
+                 jnp.asarray(self.num_nodes.astype(np.int32)),
+                 jnp.asarray(self.active), sub,
+                 jnp.asarray(tv), jnp.asarray(pv), jnp.asarray(rv),
+                 jnp.asarray(np.asarray(stop_at, np.int32)), self._consts)
+        self.tokens, self.kv_draft, self.kv_target, meta = out
+        meta = np.asarray(meta)
+        self.tokens_host = np.array(self.tokens)  # copy: admit() writes rows
+        self.num_nodes = meta[0].astype(np.int64)
+        self.active = meta[1].astype(bool)
+        return meta[2]
+
     # ------------------------------------------------------------ serving loop
 
-    def run(self, requests: List[dict]) -> List[dict]:
+    def run(self, requests: List[dict], segment_steps: Optional[int] = None
+            ) -> List[dict]:
         """Continuous batching over a request list. Each request:
         {input_ids: [...], max_new_tokens: int, temperature?, topp?,
-        repetition_penalty?}. Returns per-request result dicts in input order."""
+        repetition_penalty?}. Returns per-request result dicts in input order.
+
+        Decodes in fused segments (`step_many`): the host only syncs at
+        admission points, every `segment_steps` steps."""
         B = self.batch_size
+        seg = segment_steps or self.segment_steps
         queue = deque(enumerate(requests))
         slot_req = {}          # slot -> (request index, request)
         slot_start = {}        # slot -> committed length at admission
         slot_steps = {}
+        stop_at = np.full(B, 1 << 30, np.int32)
         results = [None] * len(requests)
         t0 = time.time()
         total_steps = 0
@@ -379,6 +463,7 @@ class BatchedStaticEngine:
                 slot_req[b] = (idx, req)
                 slot_start[b] = int(self.num_nodes[b])
                 slot_steps[b] = 0
+                stop_at[b] = slot_start[b] + int(req.get("max_new_tokens", 128))
 
         admit_from_queue()
         while any(self.active):
@@ -389,29 +474,25 @@ class BatchedStaticEngine:
                 tv[b] = req.get("temperature", 0.0)
                 pv[b] = req.get("topp", 0.9)
                 rv[b] = req.get("repetition_penalty", 1.0)
-            step_out = self.step(tv, pv, rv)
-            total_steps += 1
-            for b, (a, eos_found) in step_out.items():
-                if b not in slot_req:
-                    continue
-                slot_steps[b] += 1
+            steps_seg = self.step_many(seg, stop_at, tv, pv, rv)
+            total_steps += seg
+            for b in list(slot_req):
+                slot_steps[b] += int(steps_seg[b])
+                if self.active[b]:
+                    continue  # still decoding
                 idx, req = slot_req[b]
-                produced = int(self.num_nodes[b]) - slot_start[b]
-                budget = req.get("max_new_tokens", 128)
-                near_cap = int(self.num_nodes[b]) > self.max_length - self.safe_buffer
-                if eos_found or produced >= budget or near_cap:
-                    toks = self.tokens_host[
-                        b, slot_start[b]: int(self.num_nodes[b]) + 1].tolist()
-                    text = (self.tokenizer.decode(
-                        toks, skip_special_tokens=True,
-                        clean_up_tokenization_spaces=False)
-                        if self.tokenizer else "")
-                    results[idx] = dict(
-                        generated_text=text, generated_tokens=toks,
-                        avg_accept_tokens=len(toks) / max(slot_steps[b], 1),
-                        time_per_output_token=0.0)
-                    self.release(b)
-                    del slot_req[b], slot_start[b], slot_steps[b]
+                toks = self.tokens_host[
+                    b, slot_start[b]: int(self.num_nodes[b]) + 1].tolist()
+                text = (self.tokenizer.decode(
+                    toks, skip_special_tokens=True,
+                    clean_up_tokenization_spaces=False)
+                    if self.tokenizer else "")
+                results[idx] = dict(
+                    generated_text=text, generated_tokens=toks,
+                    avg_accept_tokens=len(toks) / max(slot_steps[b], 1),
+                    time_per_output_token=0.0)
+                self.release(b)
+                del slot_req[b], slot_start[b], slot_steps[b]
             admit_from_queue()
         elapsed = time.time() - t0
         total_tokens = sum(len(r["generated_tokens"]) for r in results if r)
@@ -458,9 +539,11 @@ class ContinuousBatcher:
 
     def _loop(self):
         eng = self.engine
+        B = eng.batch_size
         slot_req = {}
         slot_start = {}
         slot_steps = {}
+        stop_at = np.full(B, 1 << 30, np.int32)
         while not self._stop.is_set():
             with self._lock:
                 for b in eng.free_slots():
@@ -478,11 +561,11 @@ class ContinuousBatcher:
                     slot_req[b] = (req, fut)
                     slot_start[b] = int(eng.num_nodes[b])
                     slot_steps[b] = 0
+                    stop_at[b] = slot_start[b] + int(req.get("max_new_tokens", 128))
             if not any(eng.active):
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
                 continue
-            B = eng.batch_size
             tv = np.zeros(B, np.float32)
             pv = np.full(B, 0.9, np.float32)
             rv = np.ones(B, np.float32)
@@ -490,25 +573,21 @@ class ContinuousBatcher:
                 tv[b] = req.get("temperature", 0.0)
                 pv[b] = req.get("topp", 0.9)
                 rv[b] = req.get("repetition_penalty", 1.0)
-            out = eng.step(tv, pv, rv)
-            for b, (a, eos_found) in out.items():
-                if b not in slot_req:
+            steps_seg = eng.step_many(eng.segment_steps, stop_at, tv, pv, rv)
+            for b in list(slot_req):
+                slot_steps[b] += int(steps_seg[b])
+                if eng.active[b]:
                     continue
-                slot_steps[b] += 1
                 req, fut = slot_req[b]
-                produced = int(eng.num_nodes[b]) - slot_start[b]
-                budget = req.get("max_new_tokens", 128)
-                near_cap = int(eng.num_nodes[b]) > eng.max_length - eng.safe_buffer
-                if eos_found or produced >= budget or near_cap:
-                    toks = eng.tokens_host[
-                        b, slot_start[b]: int(eng.num_nodes[b]) + 1].tolist()
-                    text = (eng.tokenizer.decode(
-                        toks, skip_special_tokens=True,
-                        clean_up_tokenization_spaces=False)
-                        if eng.tokenizer else "")
-                    fut.set_result(dict(
-                        generated_text=text, generated_tokens=toks,
-                        avg_accept_tokens=len(toks) / max(slot_steps[b], 1),
-                        time_per_output_token=0.0))
-                    eng.release(b)
-                    del slot_req[b], slot_start[b], slot_steps[b]
+                toks = eng.tokens_host[
+                    b, slot_start[b]: int(eng.num_nodes[b]) + 1].tolist()
+                text = (eng.tokenizer.decode(
+                    toks, skip_special_tokens=True,
+                    clean_up_tokenization_spaces=False)
+                    if eng.tokenizer else "")
+                fut.set_result(dict(
+                    generated_text=text, generated_tokens=toks,
+                    avg_accept_tokens=len(toks) / max(slot_steps[b], 1),
+                    time_per_output_token=0.0))
+                eng.release(b)
+                del slot_req[b], slot_start[b], slot_steps[b]

@@ -43,6 +43,8 @@ class DynamicEngine(SpecEngineBase):
         self.tree_size = width * depth + 1
 
     def initialize(self):
+        # Stop margin must cover a whole tree write (see static_engine.initialize).
+        self.safe_buffer = max(self.safe_buffer, self.tree_size + 1)
         logger.info(TextColors.colorize(
             "Tree Size {} | Tree Depth {} | Tree Width {}".format(
                 self.tree_size - 1, self.tree_depth, self.tree_width), "magenta"))

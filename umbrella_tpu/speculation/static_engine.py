@@ -52,6 +52,10 @@ class StaticEngine(SpecEngineBase):
         self.growmap = gm
         self.tree_size = gm.size
         self.tree_depth = gm.num_levels
+        # The verify block writes [num_nodes, num_nodes + tree_size + 1); if the
+        # stop margin were smaller than a tree, dynamic_update_slice would CLAMP
+        # the start near the cap and silently overwrite committed tokens.
+        self.safe_buffer = max(self.safe_buffer, self.tree_size + 1)
         logger.info(TextColors.colorize(
             f"Tree Size {self.tree_size - 1} | Tree Depth {self.tree_depth - 1}", "magenta"))
 
