@@ -142,6 +142,42 @@ def main():
     except Exception as e:  # keep the primary metric even if the 8B run fails
         awq_detail = {"awq8b_error": f"{type(e).__name__}: {e}"[:200]}
 
+    # ---- secondary: continuous batching, 4 slots of the 1B setup ------------
+    # The reference serves ONE request at a time (its KV cache has no batch dim);
+    # this measures aggregate throughput of the multi-slot engine with fused
+    # decode segments (one dispatch per 16 steps).
+    batched_detail = {}
+    try:
+        import gc
+
+        from umbrella_tpu.quantization.loader import quantize_runtime
+        from umbrella_tpu.serving.batched_engine import BatchedStaticEngine
+
+        try:
+            del eng2
+        except NameError:
+            pass
+        gc.collect()
+        draft_b = quantize_runtime(draft, dtype=dtype, quantize_lm_head=True)
+        beng = BatchedStaticEngine(
+            draft_model_name=draft_b, target_model_name=target, batch_size=4,
+            dtype=dtype, growmap=gm, max_length=max_len, eos_token_ids=[-100],
+            segment_steps=16)
+        beng.initialize()
+        reqs = [dict(input_ids=rng.integers(0, 120000, size=128).astype(
+            np.int32).tolist(), max_new_tokens=160) for _ in range(8)]
+        beng.run(reqs[:4])  # warmup: compiles prefill buckets + the segment
+        tb0 = time.time()
+        outs = beng.run(reqs)
+        dtb = time.time() - tb0
+        total = sum(len(o["generated_tokens"]) for o in outs)
+        batched_detail = {
+            "batched4_tokens_per_sec": round(total / dtb, 2),
+            "batched4_setup": "4 slots, 8 requests, fused 16-step segments",
+        }
+    except Exception as e:
+        batched_detail = {"batched4_error": f"{type(e).__name__}: {e}"[:200]}
+
     result = {
         "metric": "spec_decode_tokens_per_sec_1b_target_68m_draft_greedy",
         "value": round(toks_per_sec, 2),
@@ -156,6 +192,7 @@ def main():
             "tree": "sequoia-5x6 (31 nodes)",
             "note": "random weights => acceptance floor ~1/step; value is a lower bound",
             **awq_detail,
+            **batched_detail,
         },
     }
     print(json.dumps(result))

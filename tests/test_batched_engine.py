@@ -170,3 +170,49 @@ def test_step_many_segment_matches_stepwise(models):
     toks = eng_c.tokens_host[0, st[0]: int(eng_c.num_nodes[0]) + 1].tolist()
     oracle = _greedy_ar_decode(target, prompts[0], len(toks))
     assert toks == oracle[: len(toks)]
+
+
+def test_batched_engine_with_quantized_draft():
+    """Batched forwards route AwqTensor weights (layers + tied W4 head) through
+    the AWQ-aware linear/head paths (bench.py's batched4 configuration)."""
+    from umbrella_tpu.config import ModelConfig
+    from umbrella_tpu.quantization.loader import quantize_runtime
+
+    cfg = ModelConfig(vocab_size=128, hidden_size=128, intermediate_size=256,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=MAX_LEN,
+                      eos_token_id=2, tie_word_embeddings=True)
+    target = random_runtime(cfg, MAX_LEN, seed=0)
+    draft = quantize_runtime(random_runtime(cfg, MAX_LEN, seed=1),
+                             dtype=jnp.float32, quantize_lm_head=True)
+    eng = BatchedStaticEngine(
+        draft_model_name=draft, target_model_name=target, batch_size=2,
+        dtype=jnp.float32, growmap=growmap_from_spec(3, 4), max_length=MAX_LEN,
+        eos_token_ids=[-1], segment_steps=2)
+    eng.initialize()
+    res = eng.run([dict(input_ids=[1, 17, 42, 9], max_new_tokens=8),
+                   dict(input_ids=[3, 3, 7], max_new_tokens=8)])
+    # quantized DRAFT never changes greedy output: must match the fp AR oracle
+    fp_target = target
+
+    def _ar(p, n):
+        from umbrella_tpu.models.kv_cache import init_kv_cache
+        from umbrella_tpu.models.llama import llama_forward
+        from umbrella_tpu.ops.masks import causal_mask_rows
+        kv = init_kv_cache(cfg, MAX_LEN, jnp.float32)
+        lg, kv = llama_forward(fp_target.params, fp_target.args, kv,
+                               jnp.asarray(p, jnp.int32), jnp.arange(len(p)),
+                               causal_mask_rows(0, len(p), MAX_LEN), 0)
+        out = [int(np.argmax(np.asarray(lg[-1])))]
+        for t in range(len(p), len(p) + n - 1):
+            lg, kv = llama_forward(fp_target.params, fp_target.args, kv,
+                                   jnp.asarray([out[-1]], jnp.int32),
+                                   jnp.asarray([t]),
+                                   causal_mask_rows(t, 1, MAX_LEN), t)
+            out.append(int(np.argmax(np.asarray(lg[0]))))
+        return out
+
+    for p, r in zip([[1, 17, 42, 9], [3, 3, 7]], res):
+        toks = r["generated_tokens"]
+        assert len(toks) >= 8
+        assert toks == _ar(p, len(toks))[: len(toks)]

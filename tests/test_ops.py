@@ -131,6 +131,20 @@ def test_top_p_renorm():
     np.testing.assert_allclose(out[0], [0.5 / 0.8, 0.3 / 0.8, 0, 0], rtol=1e-5)
 
 
+def test_top_p_renorm_after_topk_matches_full_sort():
+    """With <=k nonzero probs (post top-k filter), the top-k based renorm must
+    equal the full-vocab-sort reference for any top_p."""
+    rng = np.random.default_rng(0)
+    V, k = 2048, 16
+    logits = jnp.asarray(rng.standard_normal((5, V)).astype(np.float32))
+    filt = sampling.apply_topk_mask(logits, k)
+    probs = np.asarray(jax.nn.softmax(filt, axis=-1))
+    for top_p in (0.3, 0.7, 0.9, 0.999):
+        a = np.asarray(sampling.top_p_renorm_after_topk(jnp.asarray(probs), top_p, k))
+        b = np.asarray(sampling.top_p_renorm_probs(jnp.asarray(probs), top_p))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
 def test_repetition_penalty():
     logits = jnp.asarray([[2.0, -2.0, 1.0, 0.5]])
     prev = jnp.asarray([0, 1, 0, 7])  # token 7 is padding beyond valid_len

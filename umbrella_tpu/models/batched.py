@@ -26,7 +26,8 @@ from ..config import ModelConfig
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope
 from ..ops.select import embed_lookup, onehot
-from .llama import StaticModelArgs, _attn_projections, _linear, _mlp_gate_up
+from .llama import (StaticModelArgs, _attn_projections, _linear,
+                    _mlp_gate_up, lm_head_logits)
 
 
 class BatchedKVCache(NamedTuple):
@@ -147,10 +148,7 @@ def batched_llama_forward(
     (hidden, kv), _ = lax.scan(body, (hidden, kv), (layer_ids, params["layers"]))
 
     hidden = rms_norm(hidden, params["final_norm"], args.rms_eps)
-    head = params.get("lm_head")
-    w = head if head is not None else params["embed"].T
-    logits = jnp.dot(hidden, w, preferred_element_type=jnp.float32)
-    return logits.astype(jnp.float32), kv
+    return lm_head_logits(params, hidden), kv
 
 
 def slot_llama_forward(
@@ -207,7 +205,4 @@ def slot_llama_forward(
     (hidden, kv), _ = lax.scan(body, (hidden, kv), (layer_ids, params["layers"]))
 
     hidden = rms_norm(hidden, params["final_norm"], args.rms_eps)
-    head = params.get("lm_head")
-    w = head if head is not None else params["embed"].T
-    logits = jnp.dot(hidden, w, preferred_element_type=jnp.float32)
-    return logits.astype(jnp.float32), kv
+    return lm_head_logits(params, hidden), kv

@@ -174,6 +174,13 @@ def llama_forward(
     (hidden, kv), _ = lax.scan(body, (hidden, kv), (layer_ids, layers))
 
     hidden = rms_norm(hidden, params["final_norm"], args.rms_eps)
+    return lm_head_logits(params, hidden), kv
+
+
+def lm_head_logits(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
+    """fp32 logits head: tied embedding, dense lm_head, or W4 (AwqTensor) lm_head
+    (the untied 8B head is 1 GB in bf16 ~ 1.4 ms/step; fp32 kernel output keeps
+    logits exact-accumulated). Shared by the single-slot and batched forwards."""
     lm_head = params.get("lm_head")
     if lm_head is None:
         logits = jnp.dot(hidden, params["embed"].T, preferred_element_type=jnp.float32)
@@ -181,12 +188,10 @@ def llama_forward(
         from ..quantization.awq import AwqTensor, awq_matmul
 
         if isinstance(lm_head, AwqTensor):
-            # W4 lm_head (the untied 8B head is 1 GB in bf16 ~ 1.4 ms/step);
-            # fp32 kernel output keeps logits exact-accumulated
             logits = awq_matmul(hidden, lm_head, out_dtype=jnp.float32)
         else:
             logits = jnp.dot(hidden, lm_head, preferred_element_type=jnp.float32)
-    return logits.astype(jnp.float32), kv
+    return logits.astype(jnp.float32)
 
 
 def init_llama_params(

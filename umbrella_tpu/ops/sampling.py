@@ -56,6 +56,19 @@ def top_p_renorm_probs(probs: jnp.ndarray, top_p: float) -> jnp.ndarray:
     return kept / jnp.sum(kept, axis=-1, keepdims=True)
 
 
+def top_p_renorm_after_topk(probs: jnp.ndarray, top_p, k: int) -> jnp.ndarray:
+    """top_p_renorm_probs for distributions with at most k nonzero entries (i.e.
+    after a top-k logit filter): the nucleus threshold only needs the k largest
+    probs, so a [., k] lax.top_k replaces the full-vocab sort (which costs
+    ~10s of ms per verify at V=128k on TPU). Exact under that precondition."""
+    top = jax.lax.top_k(probs, k)[0]  # sorted desc
+    cumsum = jnp.cumsum(top, axis=-1)
+    keep_sorted = (cumsum - top) < top_p
+    thresh = jnp.min(jnp.where(keep_sorted, top, jnp.inf), axis=-1, keepdims=True)
+    kept = jnp.where(probs >= thresh, probs, 0.0)
+    return kept / jnp.sum(kept, axis=-1, keepdims=True)
+
+
 def sample_top_k_top_p(
     key: jax.Array,
     logits: jnp.ndarray,  # [S, V] fp32
@@ -67,7 +80,7 @@ def sample_top_k_top_p(
     renorm, categorical draw. Mirrors static engine :310 / dynamic engine :278-281."""
     logits = apply_topk_mask(logits, topk)
     probs = jax.nn.softmax(logits / temperature, axis=-1)
-    probs = top_p_renorm_probs(probs, topp)
+    probs = top_p_renorm_after_topk(probs, topp, topk)  # <=topk nonzeros: exact
     # Gumbel trick on log-probs == categorical sampling.
     return jax.random.categorical(key, jnp.log(probs + 1e-20), axis=-1)
 

@@ -175,7 +175,8 @@ class BatchedStaticEngine:
             return tokens, kv_d
 
         def step_fn(pd, pt, kv_d, kv_t, tokens, nn, active, key,
-                    temperature_vec, topp_vec, penalty_vec, consts, *, use_pen):
+                    temperature_vec, topp_vec, penalty_vec, consts,
+                    *, use_pen, all_greedy=False):
             tokens, kv_d = build_tree(pd, kv_d, tokens, nn, consts)
             bitmap, parents = consts["bitmap"], consts["parents"]
             node_in_path, eos_arr = consts["node_in_path"], consts["eos"]
@@ -192,17 +193,25 @@ class BatchedStaticEngine:
                         logits[b], tokens[b], nn[b] + 1, penalty_vec[b])
                     for b in range(B)])
 
-            # per-slot greedy-vs-stochastic select (one compilation for any mix)
+            # per-slot greedy-vs-stochastic select (one compilation for any mix);
+            # all_greedy is a STATIC specialization that skips the stochastic
+            # branch entirely (its top-k/renorm over [B, T, 128k] dominates an
+            # otherwise MXU-flat batched verify).
             greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            temp = jnp.maximum(temperature_vec, 1e-3)[:, None, None]
-            filt = S.apply_topk_mask(logits, topk)
-            probs = jax.nn.softmax(filt / temp, axis=-1)
-            probs = jnp.stack([
-                S.top_p_renorm_probs(probs[b], topp_vec[b]) for b in range(B)])
-            stoch_tok = jax.random.categorical(
-                key, jnp.log(probs + 1e-20), axis=-1).astype(jnp.int32)
-            greedy_mask = (temperature_vec < 0.05)[:, None]
-            sampled = jnp.where(greedy_mask, greedy_tok, stoch_tok)
+            if all_greedy:
+                sampled = greedy_tok
+            else:
+                temp = jnp.maximum(temperature_vec, 1e-3)[:, None, None]
+                filt = S.apply_topk_mask(logits, topk)
+                probs = jax.nn.softmax(filt / temp, axis=-1)
+                # <=topk nonzeros per row after the filter -> top-k based renorm
+                # is exact and avoids a full-vocab sort per slot
+                probs = S.top_p_renorm_after_topk(
+                    probs, topp_vec[:, None, None], topk)
+                stoch_tok = jax.random.categorical(
+                    key, jnp.log(probs + 1e-20), axis=-1).astype(jnp.int32)
+                greedy_mask = (temperature_vec < 0.05)[:, None]
+                sampled = jnp.where(greedy_mask, greedy_tok, stoch_tok)
 
             # accept rule (batched; tree metadata shared across slots)
             psel = onehot(parents, T, jnp.float32)  # [T, T]
@@ -246,52 +255,61 @@ class BatchedStaticEngine:
 
         self._step_cache = {}
 
-        def get_step(use_pen):
-            if use_pen not in self._step_cache:
-                self._step_cache[use_pen] = jax.jit(
-                    functools.partial(step_fn, use_pen=use_pen),
+        def get_step(use_pen, all_greedy):
+            k = (use_pen, all_greedy)
+            if k not in self._step_cache:
+                self._step_cache[k] = jax.jit(
+                    functools.partial(step_fn, use_pen=use_pen,
+                                      all_greedy=all_greedy),
                     donate_argnums=(2, 3, 4))
-            return self._step_cache[use_pen]
+            return self._step_cache[k]
 
         self._get_step = get_step
 
         # ---- fused decode segment: n_steps batched steps in ONE dispatch --------
         # The per-step host sync of step() (3 fetches) is the batched analogue of
         # the single-slot per-step dispatch problem _decode_fused solves; a segment
-        # runs n steps under lax.scan with device-side per-slot stopping (EOS |
-        # budget via stop_at | context cap) and syncs the host once, at admission
-        # granularity.
+        # runs up to n steps under a bounded lax.while_loop with device-side
+        # per-slot stopping (EOS | budget via stop_at | context cap) and an
+        # early exit when every slot is done, syncing the host once per segment
+        # (the admission granularity).
         def step_many_fn(pd, pt, kv_d, kv_t, tokens, nn, active, key,
                          temperature_vec, topp_vec, penalty_vec, stop_at, consts,
-                         *, use_pen, n_steps):
-            def body(carry, _):
-                tokens, kv_d, kv_t, nn, active, key, steps = carry
+                         *, use_pen, all_greedy, n_steps):
+            def cond(state):
+                i = state[0]
+                active = state[5]
+                return (i < n_steps) & jnp.any(active)  # early-exit: all done
+
+            def body(state):
+                i, tokens, kv_d, kv_t, nn, active, key, steps = state
                 key, sub = jax.random.split(key)
                 tokens, kv_d, kv_t, nn_new, _alen, _block, eos = step_fn(
                     pd, pt, kv_d, kv_t, tokens, nn, active, sub,
                     temperature_vec, topp_vec, penalty_vec, consts,
-                    use_pen=use_pen)
+                    use_pen=use_pen, all_greedy=all_greedy)
                 steps = steps + active.astype(jnp.int32)
                 # Deactivate within one tree of the cap: past that point step_fn
                 # cap-gates alen to 0 and the slot would idle forever.
                 active = (active & ~eos & (nn_new < stop_at)
                           & (nn_new + T + 1 <= cap))
-                return (tokens, kv_d, kv_t, nn_new, active, key, steps), ()
+                return (i + 1, tokens, kv_d, kv_t, nn_new, active, key, steps)
 
-            init = (tokens, kv_d, kv_t, nn, active, key, jnp.zeros(B, jnp.int32))
-            (tokens, kv_d, kv_t, nn, active, key, steps), _ = jax.lax.scan(
-                body, init, None, length=n_steps)
+            init = (jnp.int32(0), tokens, kv_d, kv_t, nn, active, key,
+                    jnp.zeros(B, jnp.int32))
+            (_, tokens, kv_d, kv_t, nn, active, key, steps) = jax.lax.while_loop(
+                cond, body, init)
             meta = jnp.stack([nn, active.astype(jnp.int32), steps])
             return tokens, kv_d, kv_t, meta
 
         self._step_many_cache = {}
 
-        def get_step_many(use_pen, n_steps):
-            k = (use_pen, n_steps)
+        def get_step_many(use_pen, all_greedy, n_steps):
+            k = (use_pen, all_greedy, n_steps)
             if k not in self._step_many_cache:
                 self._step_many_cache[k] = jax.jit(
                     functools.partial(step_many_fn, use_pen=use_pen,
-                                      n_steps=n_steps),
+                                      all_greedy=all_greedy, n_steps=n_steps),
                     donate_argnums=(2, 3, 4))
             return self._step_many_cache[k]
 
@@ -371,8 +389,9 @@ class BatchedStaticEngine:
         pv = np.full(B, 0.9, np.float32) if topp is None else np.asarray(topp, np.float32)
         rv = np.ones(B, np.float32) if penalty is None else np.asarray(penalty, np.float32)
         use_pen = bool(np.any(rv > 1.01))
+        all_greedy = bool(np.all(tv < 0.05))
         self._key, sub = jax.random.split(self._key)
-        fn = self._get_step(use_pen)
+        fn = self._get_step(use_pen, all_greedy)
         out = fn(self.draft_model.params, self.target_model.params,
                  self.kv_draft, self.kv_target, self.tokens,
                  jnp.asarray(self.num_nodes.astype(np.int32)),
@@ -411,8 +430,9 @@ class BatchedStaticEngine:
         rv = np.ones(B, np.float32) if penalty is None \
             else np.asarray(penalty, np.float32)
         use_pen = bool(np.any(rv > 1.01))
+        all_greedy = bool(np.all(tv < 0.05))
         self._key, sub = jax.random.split(self._key)
-        fn = self._get_step_many(use_pen, int(n_steps))
+        fn = self._get_step_many(use_pen, all_greedy, int(n_steps))
         out = fn(self.draft_model.params, self.target_model.params,
                  self.kv_draft, self.kv_target, self.tokens,
                  jnp.asarray(self.num_nodes.astype(np.int32)),
