@@ -186,3 +186,15 @@ def test_take_vec_and_scalar():
     v = jnp.asarray([5, 9, 2, 7], jnp.int32)
     np.testing.assert_array_equal(np.asarray(take_vec(v, jnp.asarray([3, 0, 0]))), [7, 5, 5])
     assert int(take_scalar(v, jnp.int32(2))) == 2
+
+
+def test_embed_gather_kernel_interpret():
+    """Pallas row-DMA embedding gather == numpy fancy-index (interpret mode)."""
+    from umbrella_tpu.ops.pallas.embed_gather import embed_gather
+
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.standard_normal((500, 128)).astype(np.float32))
+    for S in (1, 7, 37, 128):
+        ids = jnp.asarray(rng.integers(0, 500, S), jnp.int32)
+        out = np.asarray(embed_gather(emb, ids, interpret=True))
+        np.testing.assert_allclose(out, np.asarray(emb)[np.asarray(ids)])

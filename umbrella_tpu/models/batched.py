@@ -112,8 +112,9 @@ def batched_llama_forward(
     inv_freq, rope_scale = params["rope_inv_freq"], params["rope_scale"]
 
     dt = params["final_norm"].dtype
-    hidden = jnp.stack([embed_lookup(params["embed"], input_ids[b], dt)
-                        for b in range(B)])
+    # one flat lookup for all slots (on TPU: a single pipelined-DMA kernel call)
+    hidden = embed_lookup(params["embed"], input_ids.reshape(-1), dt) \
+        .reshape(B, S, -1)
 
     def body(carry, xs):
         hidden, kv = carry

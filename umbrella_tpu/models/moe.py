@@ -141,8 +141,8 @@ def moe_train_forward(params: dict, args: StaticModelArgs, input_ids,
     mask = ci <= ri
     from ..ops.select import embed_lookup
 
-    hidden = jax.vmap(lambda ids: embed_lookup(
-        params["embed"], ids, params["final_norm"].dtype))(input_ids)
+    hidden = embed_lookup(params["embed"], input_ids.reshape(-1),
+                          params["final_norm"].dtype).reshape(*input_ids.shape, -1)
 
     def body(carry, lw):
         hidden, aux = carry

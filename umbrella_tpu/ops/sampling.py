@@ -34,9 +34,19 @@ def apply_repetition_penalty(
     return jnp.where(seen[None, :], penalized, logits)
 
 
+def _topk_2d(x: jnp.ndarray, k: int):
+    """lax.top_k over the last axis with leading dims flattened: XLA's TPU
+    lowering of top_k on >=3D inputs is catastrophically slow at large V
+    (measured ~5 ms vs ~0.1 ms at [4, 5, 128256] on v5e); per-row semantics
+    are identical either way."""
+    lead = x.shape[:-1]
+    vals, idx = jax.lax.top_k(x.reshape(-1, x.shape[-1]), k)
+    return vals.reshape(*lead, k), idx.reshape(*lead, k)
+
+
 def apply_topk_mask(logits: jnp.ndarray, topk: int) -> jnp.ndarray:
     """Mask everything below the k-th largest logit to -inf (spec_utils:347-352)."""
-    kth = jax.lax.top_k(logits, topk)[0][..., -1:]
+    kth = _topk_2d(logits, topk)[0][..., -1:]
     return jnp.where(logits < kth, NEG_INF, logits)
 
 
@@ -61,7 +71,7 @@ def top_p_renorm_after_topk(probs: jnp.ndarray, top_p, k: int) -> jnp.ndarray:
     after a top-k logit filter): the nucleus threshold only needs the k largest
     probs, so a [., k] lax.top_k replaces the full-vocab sort (which costs
     ~10s of ms per verify at V=128k on TPU). Exact under that precondition."""
-    top = jax.lax.top_k(probs, k)[0]  # sorted desc
+    top = _topk_2d(probs, k)[0]  # sorted desc
     cumsum = jnp.cumsum(top, axis=-1)
     keep_sorted = (cumsum - top) < top_p
     thresh = jnp.min(jnp.where(keep_sorted, top, jnp.inf), axis=-1, keepdims=True)

@@ -44,15 +44,22 @@ def take_scalar(vec: jnp.ndarray, i) -> jnp.ndarray:
 
 
 def embed_lookup(embed: jnp.ndarray, input_ids: jnp.ndarray, dtype=None) -> jnp.ndarray:
-    """embed[input_ids] without a gather: one dynamic_slice per token.
+    """embed[input_ids] without an XLA gather.
 
     A one-hot matmul would read the WHOLE [V, H] table per call (~0.5GB for a 1B
-    model); the slice loop reads exactly S rows. dynamic_slice is on the runtime's
-    safe-op list (gathers and closure constants are not — see module docstring).
+    model). On TPU a single Pallas kernel issues pipelined row DMAs from the
+    HBM-resident table (ops/pallas/embed_gather.py); elsewhere a fori_loop of
+    dynamic_slice reads exactly S rows (dynamic_slice is on the runtime's
+    safe-op list — gathers and closure constants are not, see module docstring).
     """
     S = input_ids.shape[0]
     V, H = embed.shape
     dtype = dtype or embed.dtype
+
+    if jax.default_backend() in ("tpu", "axon"):
+        from .pallas.embed_gather import embed_gather
+
+        return embed_gather(embed, input_ids).astype(dtype)
 
     def body(i, out):
         row_id = lax.dynamic_slice(input_ids, (i,), (1,))[0]

@@ -100,8 +100,9 @@ def make_pp_forward(args: StaticModelArgs, mesh: Mesh, n_micro: int):
         assert B % n_micro == 0, f"n_micro={n_micro} must divide batch size {B}"
         from ..ops.select import embed_lookup
 
-        hidden = jax.vmap(lambda ids: embed_lookup(
-            params["embed"], ids, params["final_norm"].dtype))(input_ids)
+        hidden = embed_lookup(params["embed"], input_ids.reshape(-1),
+                              params["final_norm"].dtype
+                              ).reshape(*input_ids.shape, -1)
         x_mb = hidden.reshape(n_micro, B // n_micro, seq, hidden.shape[-1])
         y = sharded_stage(params["layers"], x_mb,
                           params["rope_inv_freq"], params["rope_scale"])

@@ -167,7 +167,9 @@ class BatchedStaticEngine:
                 logits, kv_d = batched_llama_forward(
                     pd, d_args, kv_d, ids, pos, mask, nn + ms["start"])
                 if ms["topk"] > 0:
-                    cand = jax.lax.top_k(logits, ms["topk"])[1].reshape(B, -1)
+                    # top_k on the FLATTENED rows: 3D top_k at large V is ~50x
+                    # slower on TPU (see ops/sampling._topk_2d)
+                    cand = S._topk_2d(logits, ms["topk"])[1].reshape(B, -1)
                     gsel = onehot(ma["gather"], cand.shape[1], jnp.float32)
                     new_tokens = jnp.einsum(
                         "km,bm->bk", gsel, cand.astype(jnp.float32)).astype(jnp.int32)

@@ -61,8 +61,10 @@ def train_forward(params: dict, args: StaticModelArgs, input_ids: jnp.ndarray,
     mask = jnp.tril(jnp.ones((S, S), bool))
     from ..ops.select import embed_lookup
 
-    hidden = jax.vmap(lambda ids: embed_lookup(params["embed"], ids,
-                                               params["final_norm"].dtype))(input_ids)
+    # flat lookup (vmap of the TPU gather kernel is unsupported; same math)
+    hidden = embed_lookup(params["embed"], input_ids.reshape(-1),
+                          params["final_norm"].dtype
+                          ).reshape(*input_ids.shape, -1)
 
     def sp(x):
         if not sequence_parallel:
