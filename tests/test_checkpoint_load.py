@@ -183,3 +183,19 @@ def test_awq_dir_autodetect_and_load(tmp_path, offload):
     ids = np.random.default_rng(5).integers(0, cfg.vocab_size, size=7)
     np.testing.assert_allclose(_run(rt, ids), _run(oracle, ids),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_exit_layer_truncates_draft(tmp_path):
+    """exit_layer=k loads only the first k decoder layers (early-exit draft,
+    reference llama.py:421,450-451) and matches an HF model truncated the same way."""
+    model, hf_cfg = _hf_tiny_llama(seed=3)
+    model.save_pretrained(str(tmp_path), safe_serialization=True)
+
+    rt = AutoModelLM.from_pretrained(str(tmp_path), max_length=MAX_LEN,
+                                     dtype=jnp.float32, exit_layer=1)
+    assert rt.params["layers"]["wqkv"].shape[0] == 1
+
+    model.model.layers = model.model.layers[:1]
+    ids = np.random.default_rng(7).integers(0, hf_cfg.vocab_size, size=9)
+    np.testing.assert_allclose(_run(rt, ids), _ref_logits(model, ids),
+                               rtol=2e-3, atol=2e-3)
