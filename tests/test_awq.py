@@ -77,6 +77,53 @@ def test_w4a16_pallas_kernel_interpret():
     np.testing.assert_allclose(y[:S], ref, rtol=5e-2, atol=5e-2)
 
 
+def test_w4a16_layered_kernel_matches_per_layer():
+    """Layered (stacked + scalar-prefetched layer_idx) kernel == slicing the layer
+    out and running the 2D kernel, for every layer."""
+    from umbrella_tpu.ops.pallas.w4a16 import w4a16_matmul
+    from umbrella_tpu.quantization.awq import AwqTensor
+
+    rng = np.random.default_rng(11)
+    n_layers, K, N, g, S = 3, 512, 256, 128, 8
+    qs = []
+    for i in range(n_layers):
+        w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+        int_w, int_z, scales = quantize_matrix(w, g)
+        qs.append(pack_tpu_layout(int_w, int_z, scales, dtype=jnp.bfloat16))
+    stacked = AwqTensor(w8=jnp.stack([t.w8 for t in qs]),
+                        scales=jnp.stack([t.scales for t in qs]),
+                        zeros=jnp.stack([t.zeros for t in qs]))
+    x = jnp.asarray(rng.standard_normal((S, K)).astype(np.float32) * 0.1, jnp.bfloat16)
+    for i in range(n_layers):
+        y_layered = np.asarray(w4a16_matmul(
+            x, stacked, interpret=True, layer_idx=jnp.int32(i)), np.float32)
+        y_plain = np.asarray(w4a16_matmul(x, qs[i], interpret=True), np.float32)
+        np.testing.assert_array_equal(y_layered, y_plain)
+
+
+def test_awq_layer_view_matmul_paths():
+    """AwqLayerView dispatches both the fused (layered kernel) and dequant
+    (slice-first) paths to the same per-layer result."""
+    from umbrella_tpu.quantization.awq import AwqLayerView, AwqTensor, awq_matmul
+
+    rng = np.random.default_rng(12)
+    n_layers, K, N, g, S = 2, 256, 128, 128, 4
+    qs = []
+    for i in range(n_layers):
+        w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+        int_w, int_z, scales = quantize_matrix(w, g)
+        qs.append(pack_tpu_layout(int_w, int_z, scales, dtype=jnp.float32))
+    stacked = AwqTensor(w8=jnp.stack([t.w8 for t in qs]),
+                        scales=jnp.stack([t.scales for t in qs]),
+                        zeros=jnp.stack([t.zeros for t in qs]))
+    x = jnp.asarray(rng.standard_normal((S, K)).astype(np.float32))
+    for i in range(n_layers):
+        view = AwqLayerView(stacked, jnp.int32(i))
+        y_view = np.asarray(awq_matmul(x, view, prefer_fused=False))
+        y_ref = np.asarray(awq_matmul(x, qs[i], prefer_fused=False))
+        np.testing.assert_allclose(y_view, y_ref, rtol=1e-5, atol=1e-5)
+
+
 def test_quantized_model_decode(tiny_cfg):
     """Quantize a tiny model; greedy spec decode still runs and stays lossless w.r.t.
     the quantized model's own AR decode."""
@@ -262,8 +309,9 @@ def test_engine_quantize_draft_flag_lossless(tiny_cfg):
         growmap=growmap_from_spec(3, 4), max_length=MAX_LEN, safe_buffer=32,
         eos_token_ids=[-1], quantize_draft=True)
     eng.initialize()
-    assert isinstance(eng.draft_model.params["layers"]["wqkv"], AwqTensor) or \
-        any(isinstance(v, AwqTensor) for v in eng.draft_model.params["layers"].values())
+    from umbrella_tpu.quantization.awq import has_awq_layers
+
+    assert has_awq_layers(eng.draft_model.params["layers"])
     prompt = [2, 5, 8]
     assert eng._prefill(np.asarray(prompt))
     start = eng.num_nodes

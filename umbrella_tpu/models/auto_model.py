@@ -207,16 +207,21 @@ def random_awq_runtime(
     I, V = cfg.intermediate_size, cfg.vocab_size
     rng = np.random.default_rng(seed)
 
-    def q(k_dim, n_dim, stack=True):
+    def q_one(k_dim, n_dim):
         G = k_dim // group_size
-        lead = (n,) if stack else ()
         return AwqTensor(
-            w8=jnp.asarray(rng.integers(0, 256, (*lead, k_dim // 2, n_dim), dtype=np.uint8).view(np.int8)),
+            w8=jnp.asarray(rng.integers(0, 256, (k_dim // 2, n_dim), dtype=np.uint8).view(np.int8)),
             scales=jnp.asarray(
-                rng.uniform(0.001, 0.01, (*lead, G, n_dim)).astype(np.float32)).astype(dtype),
+                rng.uniform(0.001, 0.01, (G, n_dim)).astype(np.float32)).astype(dtype),
             zeros=jnp.asarray(
-                rng.integers(0, 16, (*lead, G, n_dim)).astype(np.float32)).astype(dtype),
+                rng.integers(0, 16, (G, n_dim)).astype(np.float32)).astype(dtype),
         )
+
+    def q(k_dim, n_dim, stack=True):
+        # per-layer tuple, not stacked — see quantization/loader._stack_awq
+        if not stack:
+            return q_one(k_dim, n_dim)
+        return tuple(q_one(k_dim, n_dim) for _ in range(n))
 
     layers = {
         "input_norm": jnp.ones((n, H), dtype),

@@ -145,8 +145,14 @@ def batched_llama_forward(
         hidden = residual + _linear(jax.nn.silu(gate) * up, lw["down"])
         return (hidden, kv), None
 
-    layer_ids = lax.iota(jnp.int32, args.n_layers)
-    (hidden, kv), _ = lax.scan(body, (hidden, kv), (layer_ids, params["layers"]))
+    layers = params["layers"]
+    if any(isinstance(v, tuple) for v in layers.values()):
+        # per-layer AWQ tuples: unroll (see llama.llama_forward / loader._stack_awq)
+        for i in range(args.n_layers):
+            (hidden, kv), _ = body((hidden, kv), (i, {k: v[i] for k, v in layers.items()}))
+    else:
+        layer_ids = lax.iota(jnp.int32, args.n_layers)
+        (hidden, kv), _ = lax.scan(body, (hidden, kv), (layer_ids, layers))
 
     hidden = rms_norm(hidden, params["final_norm"], args.rms_eps)
     return lm_head_logits(params, hidden), kv
@@ -202,8 +208,14 @@ def slot_llama_forward(
         hidden = residual + _linear(jax.nn.silu(gate) * up, lw["down"])
         return (hidden, kv), None
 
-    layer_ids = lax.iota(jnp.int32, args.n_layers)
-    (hidden, kv), _ = lax.scan(body, (hidden, kv), (layer_ids, params["layers"]))
+    layers = params["layers"]
+    if any(isinstance(v, tuple) for v in layers.values()):
+        # per-layer AWQ tuples: unroll (see llama.llama_forward / loader._stack_awq)
+        for i in range(args.n_layers):
+            (hidden, kv), _ = body((hidden, kv), (i, {k: v[i] for k, v in layers.items()}))
+    else:
+        layer_ids = lax.iota(jnp.int32, args.n_layers)
+        (hidden, kv), _ = lax.scan(body, (hidden, kv), (layer_ids, layers))
 
     hidden = rms_norm(hidden, params["final_norm"], args.rms_eps)
     return lm_head_logits(params, hidden), kv

@@ -60,15 +60,44 @@ class StaticModelArgs(NamedTuple):
 
 def _linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None,
             act_int8: bool = False) -> jnp.ndarray:
-    """Dense or AWQ-quantized linear; w may be an array [in, out] or an AwqTensor."""
-    from ..quantization.awq import AwqTensor, awq_matmul
+    """Dense or AWQ-quantized linear; w may be an array [in, out], an AwqTensor,
+    or an AwqLayerView (stacked W4 weights + traced layer index)."""
+    from ..quantization.awq import AwqLayerView, AwqTensor, awq_matmul
 
-    if isinstance(w, AwqTensor):
+    if isinstance(w, (AwqTensor, AwqLayerView)):
         return awq_matmul(x, w, b, act_int8=act_int8)
     y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
     if b is not None:
         y = y + b.astype(x.dtype)
     return y
+
+
+def split_scan_layers(layers: dict):
+    """Partition stacked per-layer params: AwqTensor entries whole (for the
+    layered W4A16 kernel), dense entries as scan xs.
+
+    MEASURED SLOWER on v5e (2026-08): routing the 8B AWQ verify through the
+    layered kernel cost +8 ms/step (27.6 vs 19.4 ms target fwd) — the
+    scalar-prefetch grid spec adds per-call overhead (gate_up 223 vs 185 us,
+    down 130 vs 48 us), while XLA's latency-hiding scheduler already overlaps
+    the scan's per-layer weight-slice materialization with compute (a dense
+    scan-xs dot measures within 3 us of a fixed-weight dot). Kept (with tests)
+    for contexts where the slice copies cannot overlap; NOT used by default."""
+    from ..quantization.awq import AwqTensor
+
+    awq = {k: v for k, v in layers.items() if isinstance(v, AwqTensor)}
+    dense = {k: v for k, v in layers.items() if not isinstance(v, AwqTensor)}
+    return awq, dense
+
+
+def view_scan_layer(awq: dict, dense_sliced: dict, layer_idx) -> dict:
+    """Per-iteration layer weights: sliced dense entries + AwqLayerViews."""
+    from ..quantization.awq import AwqLayerView
+
+    lw = dict(dense_sliced)
+    for k, v in awq.items():
+        lw[k] = AwqLayerView(v, layer_idx)
+    return lw
 
 
 def _attn_projections(args: StaticModelArgs, lw: dict, hidden):
@@ -161,17 +190,29 @@ def llama_forward(
     inv_freq, rope_scale = params["rope_inv_freq"], params["rope_scale"]
     hidden = embed_lookup(params["embed"], input_ids, params["final_norm"].dtype)
 
-    def body(carry, xs):
-        hidden, kv = carry
-        layer_idx, lw = xs
-        hidden, kv = llama_layer(
-            args, lw, hidden, kv, layer_idx, position_ids, attn_mask, write_offset,
-            inv_freq, rope_scale
-        )
-        return (hidden, kv), None
+    if any(isinstance(v, tuple) for v in layers.values()):
+        # Quantized layers arrive as per-layer TUPLES (loader._stack_awq): the
+        # loop is unrolled so each pallas kernel reads its layer's packed
+        # weights in place — scanning a stacked array would copy ~163 us/layer
+        # (traced on v5e at 8B shapes). Dense entries index with a static i
+        # (XLA fuses the slice into the consuming dot for free).
+        for i in range(args.n_layers):
+            lw = {k: v[i] for k, v in layers.items()}
+            hidden, kv = llama_layer(
+                args, lw, hidden, kv, i, position_ids, attn_mask, write_offset,
+                inv_freq, rope_scale)
+    else:
+        def body(carry, xs):
+            hidden, kv = carry
+            layer_idx, lw = xs
+            hidden, kv = llama_layer(
+                args, lw, hidden, kv, layer_idx, position_ids, attn_mask,
+                write_offset, inv_freq, rope_scale
+            )
+            return (hidden, kv), None
 
-    layer_ids = jax.lax.iota(jnp.int32, args.n_layers)
-    (hidden, kv), _ = lax.scan(body, (hidden, kv), (layer_ids, layers))
+        layer_ids = jax.lax.iota(jnp.int32, args.n_layers)
+        (hidden, kv), _ = lax.scan(body, (hidden, kv), (layer_ids, layers))
 
     hidden = rms_norm(hidden, params["final_norm"], args.rms_eps)
     return lm_head_logits(params, hidden), kv

@@ -30,13 +30,20 @@ from ..quantization.awq import awq_from_hf_tensors
 
 
 def _split_stacked(params: dict) -> (dict, List[dict]):
-    """Split a stacked llama param pytree into (top, per-layer host dicts)."""
+    """Split a llama param pytree into (top, per-layer host dicts). Dense entries
+    are stacked [n, ...] arrays (indexed per layer); quantized entries are
+    per-layer AwqTensor tuples (taken as-is, see quantization/loader._stack_awq)."""
     layers = params["layers"]
     n = int(np.asarray(layers["input_norm"]).shape[0])
     per_layer = []
     for i in range(n):
-        per_layer.append(jax.tree.map(lambda x: np.asarray(x[i]), layers,
-                                      is_leaf=lambda x: not isinstance(x, dict)))
+        lw = {}
+        for k, v in layers.items():
+            if isinstance(v, tuple):
+                lw[k] = jax.tree.map(np.asarray, v[i])
+            else:
+                lw[k] = jax.tree.map(lambda x: np.asarray(x[i]), v)
+        per_layer.append(lw)
     top = {k: v for k, v in params.items() if k != "layers"}
     return top, per_layer
 

@@ -42,16 +42,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _w4a16_kernel(x_lo_ref, x_hi_ref, w8_ref, s_lo_ref, z_lo_ref, s_hi_ref, z_hi_ref,
-                  out_ref, acc_ref, *, group_size: int, n_k: int):
+                  out_ref, acc_ref, *, group_size: int, n_k: int,
+                  layered: bool = False):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    def rd(ref):  # layered blocks carry a leading (1,) layer dim
+        return ref[0] if layered else ref[:]
+
     # int8-packed nibbles; Mosaic legalizes int32 shifts/masks (not uint8), and
     # (x >> 4) & 0xF is sign-safe on two's-complement int32
-    w32 = w8_ref[:].astype(jnp.int32)
+    w32 = rd(w8_ref).astype(jnp.int32)
     lo = (w32 & 0xF).astype(jnp.float32)
     hi = ((w32 >> 4) & 0xF).astype(jnp.float32)
 
@@ -61,10 +65,10 @@ def _w4a16_kernel(x_lo_ref, x_hi_ref, w8_ref, s_lo_ref, z_lo_ref, s_hi_ref, z_hi
     def expand(a):  # [g2, bn] per-group -> [bk2, bn] per-row (np.repeat semantics)
         return jnp.broadcast_to(a[:, None, :], (g2, group_size, bn)).reshape(bk2, bn)
 
-    w_lo = ((lo - expand(z_lo_ref[:].astype(jnp.float32)))
-            * expand(s_lo_ref[:].astype(jnp.float32))).astype(jnp.bfloat16)
-    w_hi = ((hi - expand(z_hi_ref[:].astype(jnp.float32)))
-            * expand(s_hi_ref[:].astype(jnp.float32))).astype(jnp.bfloat16)
+    w_lo = ((lo - expand(rd(z_lo_ref).astype(jnp.float32)))
+            * expand(rd(s_lo_ref).astype(jnp.float32))).astype(jnp.bfloat16)
+    w_hi = ((hi - expand(rd(z_hi_ref).astype(jnp.float32)))
+            * expand(rd(s_hi_ref).astype(jnp.float32))).astype(jnp.bfloat16)
 
     acc = jnp.dot(x_lo_ref[:].astype(jnp.bfloat16), w_lo,
                   preferred_element_type=jnp.float32)
@@ -78,7 +82,9 @@ def _w4a16_kernel(x_lo_ref, x_hi_ref, w8_ref, s_lo_ref, z_lo_ref, s_hi_ref, z_hi
 
 
 def _pick_bn(n: int) -> int:
-    for bn in (512, 256, 128):
+    # larger bn => shorter grid => less per-step overhead (the N=128256 lm_head
+    # doesn't divide by 512 but does by 384: 794us vs 826us at 8B shape, v5e)
+    for bn in (512, 384, 256, 128):
         if n % bn == 0:
             return bn
     raise ValueError(f"N={n} must be a multiple of 128")
@@ -101,12 +107,26 @@ def _pick_bk2(k2: int, group_size: int) -> int:
                                              "out_dtype"))
 def w4a16_matmul(x: jnp.ndarray, q, interpret: bool = False,
                  block_n: int | None = None, block_k2: int | None = None,
-                 out_dtype=None) -> jnp.ndarray:
+                 out_dtype=None, layer_idx=None) -> jnp.ndarray:
     """x [S, K] @ split-halves W4 [K, N] -> [S, N] in out_dtype (default x.dtype;
-    fp32 accumulation either way — fp32 out is exact, used for lm_head logits)."""
+    fp32 accumulation either way — fp32 out is exact, used for lm_head logits).
+
+    Layered mode: q.w8 may be a STACKED [n_layers, K/2, N] array (scales/zeros
+    [n_layers, G, N]) with `layer_idx` a traced scalar. The kernel indexes the
+    layer itself via scalar prefetch, so per-layer weights are DMA'd straight
+    from the stacked HBM buffer — an XLA dynamic-slice of the stack would
+    materialize a full per-layer copy (~0.3 ms/layer at 8B shapes) because
+    pallas inputs must be whole buffers. Same trick as the layered flash
+    attention kernel (tree_attention.py)."""
     S, K = x.shape
-    K2, N = q.w8.shape
-    G = q.scales.shape[0]
+    layered = q.w8.ndim == 3
+    if layered:
+        assert layer_idx is not None
+        _n_layers, K2, N = q.w8.shape
+        G = q.scales.shape[1]
+    else:
+        K2, N = q.w8.shape
+        G = q.scales.shape[0]
     assert K == 2 * K2, (K, K2)
     group_size = K // G
     assert K2 % group_size == 0, "K/2 must be divisible by group_size (split-halves)"
@@ -122,29 +142,62 @@ def w4a16_matmul(x: jnp.ndarray, q, interpret: bool = False,
     n_k = K2 // bk2
     bg = bk2 // group_size
     x_lo, x_hi = x[:, :K2], x[:, K2:]
-    s_lo, s_hi = q.scales[: G // 2], q.scales[G // 2 :]
-    z_lo, z_hi = q.zeros[: G // 2], q.zeros[G // 2 :]
+    if layered:
+        s_lo, s_hi = q.scales[:, : G // 2], q.scales[:, G // 2 :]
+        z_lo, z_hi = q.zeros[:, : G // 2], q.zeros[:, G // 2 :]
+    else:
+        s_lo, s_hi = q.scales[: G // 2], q.scales[G // 2 :]
+        z_lo, z_hi = q.zeros[: G // 2], q.zeros[G // 2 :]
 
-    out = pl.pallas_call(
-        functools.partial(_w4a16_kernel, group_size=group_size, n_k=n_k),
-        grid=(N // bn, n_k),
-        in_specs=[
-            pl.BlockSpec((S_pad, bk2), lambda j, k: (0, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S_pad, bk2), lambda j, k: (0, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk2, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bg, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bg, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bg, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bg, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((S_pad, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((S_pad, N), out_dtype or x.dtype),
-        scratch_shapes=[pltpu.VMEM((S_pad, bn), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * S_pad * K * N,
-            bytes_accessed=K2 * N + 2 * G * N * 2 + S_pad * K * 2 + S_pad * N * 2,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(x_lo, x_hi, q.w8, s_lo, z_lo, s_hi, z_hi)
+    if layered:
+        def kern(li_ref, *refs):  # scalar-prefetch ref is consumed by index maps
+            _w4a16_kernel(*refs, group_size=group_size, n_k=n_k, layered=True)
+    else:
+        kern = functools.partial(_w4a16_kernel, group_size=group_size, n_k=n_k,
+                                 layered=False)
+    out_shape = jax.ShapeDtypeStruct((S_pad, N), out_dtype or x.dtype)
+    scratch = [pltpu.VMEM((S_pad, bn), jnp.float32)]
+    cost = pl.CostEstimate(
+        flops=2 * S_pad * K * N,
+        bytes_accessed=K2 * N + 2 * G * N * 2 + S_pad * K * 2 + S_pad * N * 2,
+        transcendentals=0,
+    )
+    if layered:
+        x_spec = pl.BlockSpec((S_pad, bk2), lambda j, k, li: (0, k),
+                              memory_space=pltpu.VMEM)
+        w_spec = pl.BlockSpec((1, bk2, bn), lambda j, k, li: (li[0], k, j),
+                              memory_space=pltpu.VMEM)
+        g_spec = pl.BlockSpec((1, bg, bn), lambda j, k, li: (li[0], k, j),
+                              memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((S_pad, bn), lambda j, k, li: (0, j),
+                                memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(N // bn, n_k),
+            in_specs=[x_spec, x_spec, w_spec, g_spec, g_spec, g_spec, g_spec],
+            out_specs=out_spec, scratch_shapes=scratch)
+        out = pl.pallas_call(
+            kern, grid_spec=grid_spec, out_shape=out_shape,
+            cost_estimate=cost, interpret=interpret,
+        )(jnp.asarray(layer_idx, jnp.int32).reshape(1),
+          x_lo, x_hi, q.w8, s_lo, z_lo, s_hi, z_hi)
+    else:
+        out = pl.pallas_call(
+            kern,
+            grid=(N // bn, n_k),
+            in_specs=[
+                pl.BlockSpec((S_pad, bk2), lambda j, k: (0, k), memory_space=pltpu.VMEM),
+                pl.BlockSpec((S_pad, bk2), lambda j, k: (0, k), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bk2, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bg, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bg, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bg, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bg, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((S_pad, bn), lambda j, k: (0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(x_lo, x_hi, q.w8, s_lo, z_lo, s_hi, z_hi)
     return out[:S] if S_pad != S else out

@@ -82,6 +82,31 @@ class AwqTensor(NamedTuple):
         return self.k // self.scales.shape[-2]
 
 
+def has_awq_layers(layers: dict) -> bool:
+    """True if any layer entry is quantized (a single AwqTensor or a per-layer
+    tuple of AwqTensors)."""
+    for v in layers.values():
+        if isinstance(v, AwqTensor):
+            return True
+        if isinstance(v, tuple) and v and isinstance(v[0], AwqTensor):
+            return True
+    return False
+
+
+class AwqLayerView(NamedTuple):
+    """One layer of a STACKED AwqTensor ([n_layers, K/2, N] leaves) addressed by a
+    traced scalar index. The layered W4A16 kernel DMAs the layer straight from the
+    stacked HBM buffer via scalar prefetch; slicing the stack in XLA instead would
+    materialize a per-layer copy (~0.3 ms/layer at 8B shapes, ~7 ms per 32-layer
+    verify pass) because pallas inputs must be whole buffers."""
+    q: AwqTensor  # stacked: w8 [n, K/2, N], scales/zeros [n, G, N]
+    layer: jnp.ndarray  # scalar int32
+
+    @property
+    def n(self) -> int:
+        return self.q.n
+
+
 def pack_tpu_layout(int_weights: np.ndarray, int_zeros: np.ndarray,
                     scales: np.ndarray, dtype=jnp.bfloat16) -> AwqTensor:
     """[K, N] int4 values (+ per-group zeros/scales) -> split-halves AwqTensor."""
@@ -132,11 +157,12 @@ def _use_pallas() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-def awq_matmul(x: jnp.ndarray, q: AwqTensor, bias: Optional[jnp.ndarray] = None,
+def awq_matmul(x: jnp.ndarray, q, bias: Optional[jnp.ndarray] = None,
                prefer_fused: Optional[bool] = None, out_dtype=None,
                act_int8: bool = False) -> jnp.ndarray:
     """y = x @ W for split-halves W4 weights; x [..., K] -> [..., N] in out_dtype
-    (default x.dtype; fp32 accumulation either way).
+    (default x.dtype; fp32 accumulation either way). `q` is an AwqTensor or an
+    AwqLayerView (stacked weights + traced layer index -> layered kernel).
 
     Size heuristic mirrors the reference (`awq_utils.py:67-77`): big token counts
     dequantize once and ride the MXU in bf16; small counts use the fused kernel.
@@ -144,23 +170,35 @@ def awq_matmul(x: jnp.ndarray, q: AwqTensor, bias: Optional[jnp.ndarray] = None,
     2x-rate int8 MXU, ops/pallas/w4a8.py); the many-token dequant path stays bf16
     (prefill is MXU-efficient already, and bf16 there costs no extra HBM reads).
     """
+    layer_idx = None
+    if isinstance(q, AwqLayerView):
+        q, layer_idx = q.q, q.layer
     tokens = int(np.prod(x.shape[:-1]))
     if prefer_fused is None:
         prefer_fused = tokens < FP16_MATMUL_HEURISTIC_TOKENS and _use_pallas()
-    if prefer_fused:
-        if act_int8:
+    if prefer_fused and not act_int8:
+        from ..ops.pallas.w4a16 import w4a16_matmul
+
+        y = w4a16_matmul(x.reshape(tokens, x.shape[-1]), q, out_dtype=out_dtype,
+                         layer_idx=layer_idx)
+        y = y.reshape(*x.shape[:-1], q.n)
+    else:
+        if layer_idx is not None:  # w4a8 / dequant paths take a single layer
+            q = AwqTensor(
+                w8=jax.lax.dynamic_index_in_dim(q.w8, layer_idx, 0, keepdims=False),
+                scales=jax.lax.dynamic_index_in_dim(q.scales, layer_idx, 0,
+                                                    keepdims=False),
+                zeros=jax.lax.dynamic_index_in_dim(q.zeros, layer_idx, 0,
+                                                   keepdims=False))
+        if prefer_fused:
             from ..ops.pallas.w4a8 import w4a8_matmul
 
             y = w4a8_matmul(x.reshape(tokens, x.shape[-1]), q, out_dtype=out_dtype)
+            y = y.reshape(*x.shape[:-1], q.n)
         else:
-            from ..ops.pallas.w4a16 import w4a16_matmul
-
-            y = w4a16_matmul(x.reshape(tokens, x.shape[-1]), q, out_dtype=out_dtype)
-        y = y.reshape(*x.shape[:-1], q.n)
-    else:
-        w = dequantize(q, dtype=x.dtype)
-        y = jnp.dot(x, w, preferred_element_type=jnp.float32)
-        y = y.astype(out_dtype or x.dtype)
+            w = dequantize(q, dtype=x.dtype)
+            y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+            y = y.astype(out_dtype or x.dtype)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y

@@ -21,12 +21,14 @@ from ..ops.rope import rope_params
 from .awq import AwqTensor, awq_from_hf_tensors, concat_awq, pack_tpu_layout, quantize_matrix
 
 
-def _stack_awq(tensors) -> AwqTensor:
-    return AwqTensor(
-        w8=jnp.stack([t.w8 for t in tensors]),
-        scales=jnp.stack([t.scales for t in tensors]),
-        zeros=jnp.stack([t.zeros for t in tensors]),
-    )
+def _stack_awq(tensors) -> tuple:
+    """Per-layer AwqTensors are kept as a TUPLE, not stacked into [n, K/2, N]
+    arrays: a pallas call can only consume whole buffers, so a scan/loop over a
+    stacked array forces XLA to materialize each layer's packed weights per
+    iteration (traced: ~163 us/layer of pure copy at 8B shapes ~ 5 ms per
+    32-layer verify). Per-layer buffers are read in place by the kernels; the
+    model forward unrolls the layer loop when it sees tuple entries."""
+    return tuple(tensors)
 
 
 def awq_params_from_hf_state_dict(

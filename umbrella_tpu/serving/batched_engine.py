@@ -64,6 +64,9 @@ class BatchedStaticEngine:
         self.tokenizer = kwargs.pop("tokenizer", None)
         self.eos_token_ids = kwargs.pop("eos_token_ids", None)
         self.seed = kwargs.pop("seed", 0)
+        # recall<1 => approx_max_k draft expansion (proposals only; see
+        # ops/sampling.draft_topk)
+        self.draft_topk_recall = float(kwargs.pop("draft_topk_recall", 0.99))
         self.config = kwargs
 
     # ------------------------------------------------------------------ setup
@@ -138,6 +141,7 @@ class BatchedStaticEngine:
 
     def _build_jits(self):
         B, L, T = self.batch_size, self.max_length, self.tree_size
+        recall = self.draft_topk_recall
         d_args, t_args = self.draft_model.args, self.target_model.args
         level_static = self._level_static
         topk = self.topk
@@ -169,7 +173,8 @@ class BatchedStaticEngine:
                 if ms["topk"] > 0:
                     # top_k on the FLATTENED rows: 3D top_k at large V is ~50x
                     # slower on TPU (see ops/sampling._topk_2d)
-                    cand = S._topk_2d(logits, ms["topk"])[1].reshape(B, -1)
+                    flat = logits.reshape(-1, logits.shape[-1])
+                    cand = S.draft_topk(flat, ms["topk"], recall)[1].reshape(B, -1)
                     gsel = onehot(ma["gather"], cand.shape[1], jnp.float32)
                     new_tokens = jnp.einsum(
                         "km,bm->bk", gsel, cand.astype(jnp.float32)).astype(jnp.int32)

@@ -64,6 +64,7 @@ class DynamicEngine(SpecEngineBase):
         t_fused = self.target_model.supports_fused_phases
         t_fwd = self.target_model.forward if t_fused else None
         eos_arr = self._eos_arr
+        recall = self.draft_topk_recall
 
         # node depth vector: [0, 1*W ones, 2*W ones, ...] (ref :65-68)
         # All device-array constants go into self._consts and are passed INTO the
@@ -94,7 +95,9 @@ class DynamicEngine(SpecEngineBase):
                 if step < D:
                     from ..ops.select import onehot, take_vec
 
-                    top_vals, top_idx = jax.lax.top_k(logits, B)  # [dec_len, B]
+                    from ..ops.sampling import draft_topk
+
+                    top_vals, top_idx = draft_topk(logits, B, recall)  # [dec_len, B]
                     step_scores = jnp.log(jax.nn.softmax(top_vals, axis=-1) + 1e-4)
                     hist = jax.lax.dynamic_slice(tree_score, (lvl_start,), (dec_len,))
                     cand = (hist[:, None] + step_scores).reshape(-1)

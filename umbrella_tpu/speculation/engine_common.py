@@ -54,6 +54,10 @@ class SpecEngineBase(BaseEngine):
         self.eos_token_ids = kwargs.pop("eos_token_ids", None)
         self.seed = kwargs.pop("seed", 0)
         self.kv_dtype = kwargs.pop("kv_dtype", None)  # None => model dtype; "int8" quantizes
+        # draft tree expansion top-k: recall<1 => lax.approx_max_k (~5x faster at
+        # V=128k on TPU; proposals only — committed output is unaffected, see
+        # ops/sampling.draft_topk). 1.0 => exact lax.top_k.
+        self.draft_topk_recall = float(kwargs.pop("draft_topk_recall", 0.99))
         self.config = kwargs
 
     # ------------------------------------------------------------ model setup
@@ -71,11 +75,10 @@ class SpecEngineBase(BaseEngine):
             # W4-quantize an fp draft in process (TPU extension; the draft re-reads
             # all its weights once per tree level, so W4 cuts build_tree HBM
             # traffic ~4x). No-op for drafts that are already AWQ checkpoints.
-            from ..quantization.awq import AwqTensor
+            from ..quantization.awq import has_awq_layers
             from ..quantization.loader import quantize_runtime
 
-            lw = self.draft_model.params["layers"]
-            if not any(isinstance(v, AwqTensor) for v in lw.values()):
+            if not has_awq_layers(self.draft_model.params["layers"]):
                 # quantize_lm_head: the head matmul is the draft's biggest HBM
                 # read per level (full [H, V], even when tied) — W4 it too.
                 self.draft_model = quantize_runtime(

@@ -99,6 +99,8 @@ class StaticEngine(SpecEngineBase):
             levels=tuple(level_arrays),
         )
 
+        recall = self.draft_topk_recall
+
         def build_tree_fn(pd, kv_d, tokens, num_nodes, consts):
             bitmap = consts["bitmap"]
             for ms, ma in zip(level_static, consts["levels"]):
@@ -107,9 +109,10 @@ class StaticEngine(SpecEngineBase):
                 mask = tree_level_mask_rows(num_nodes, bitmap, ms["start"], ms["n"], L)
                 logits, kv_d = d_fwd(pd, kv_d, ids, pos, mask, num_nodes + ms["start"])
                 if ms["topk"] > 0:
+                    from ..ops.sampling import draft_topk
                     from ..ops.select import take_vec
 
-                    cand = jax.lax.top_k(logits, ms["topk"])[1].reshape(-1)
+                    cand = draft_topk(logits, ms["topk"], recall)[1].reshape(-1)
                     new_tokens = take_vec(cand, ma["gather"]).astype(jnp.int32)
                     tokens = jax.lax.dynamic_update_slice(
                         tokens, new_tokens, (num_nodes + ms["start"] + ms["n"],))
