@@ -22,6 +22,34 @@ def test_awq_pack_unpack_roundtrip():
     np.testing.assert_array_equal(uz, int_z)
 
 
+def test_repack_row_shards_blocks_are_standalone_packs():
+    """Each of the m row-blocks of the repacked tensor must dequantize (with its
+    scales/zeros block) to the matching logical K-block — the invariant the TP
+    row-parallel sharding (parallel/mesh.py) relies on."""
+    from umbrella_tpu.quantization.awq import repack_row_shards
+
+    rng = np.random.default_rng(1)
+    K, N, g, m = 128, 32, 16, 4
+    int_w = rng.integers(0, 16, size=(K, N)).astype(np.int8)
+    int_z = rng.integers(0, 16, size=(K // g, N)).astype(np.int8)
+    scales = rng.uniform(0.01, 0.1, size=(K // g, N)).astype(np.float32)
+    q = pack_tpu_layout(int_w, int_z, scales, dtype=jnp.float32)
+    full = np.asarray(dequantize(q, jnp.float32))
+    rq = repack_row_shards(q, m)
+    G = K // g
+    for j in range(m):
+        local = AwqTensor(
+            w8=rq.w8[j * K // (2 * m):(j + 1) * K // (2 * m)],
+            scales=rq.scales[j * G // m:(j + 1) * G // m],
+            zeros=rq.zeros[j * G // m:(j + 1) * G // m])
+        np.testing.assert_allclose(
+            np.asarray(dequantize(local, jnp.float32)),
+            full[j * K // m:(j + 1) * K // m], rtol=0, atol=0)
+    # m=1 is the identity
+    np.testing.assert_array_equal(
+        np.asarray(repack_row_shards(q, 1).w8), np.asarray(q.w8))
+
+
 def test_hf_tensors_to_tpu_layout_dequant():
     rng = np.random.default_rng(1)
     K, N, g = 256, 128, 128

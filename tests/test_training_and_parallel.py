@@ -9,7 +9,7 @@ from umbrella_tpu.config import ModelConfig
 from umbrella_tpu.models.auto_model import ModelRuntime
 from umbrella_tpu.models.llama import StaticModelArgs, init_llama_params
 from umbrella_tpu.parallel.mesh import (
-    llama_param_specs, make_mesh, shard_kv, shard_params)
+    llama_param_specs, make_mesh, shard_kv, shard_params, shard_runtime)
 from umbrella_tpu.sequoia import growmap_from_spec
 from umbrella_tpu.speculation.static_engine import StaticEngine
 from umbrella_tpu.training import init_train_state, make_optimizer, make_train_step
@@ -68,9 +68,8 @@ def test_tp_sharded_inference_matches_replicated():
     def build_engine(params, tp):
         target = ModelRuntime(cfg, params, MAX_LEN, dtype=jnp.float32)
         if tp:
-            target.params = shard_params(params, mesh)
-            orig = target.init_kv
-            target.init_kv = lambda *a, **k: shard_kv(orig(*a, **k), mesh)
+            # shard_map TP path: Megatron collectives traced into the forward
+            shard_runtime(target, mesh)
         draft = ModelRuntime(
             cfg, init_llama_params(cfg, jax.random.PRNGKey(2), MAX_LEN, jnp.float32, packed=False),
             MAX_LEN, dtype=jnp.float32)
@@ -84,6 +83,46 @@ def test_tp_sharded_inference_matches_replicated():
     results = []
     for tp in (False, True):
         eng = build_engine(base, tp)
+        assert eng._prefill(np.asarray([1, 9, 23, 7]))
+        start = eng.num_nodes
+        for _ in range(3):
+            eng.build_tree()
+            eng.verify()
+        results.append(eng.tokens_host[start : eng.num_nodes].tolist())
+    assert results[0] == results[1]
+
+
+def test_tp_awq_sharded_inference_matches_replicated():
+    """W4 (AwqTensor) target TP-sharded over the mesh — column/row AWQ specs plus
+    the row-parallel split-halves repack — produces the replicated engine's greedy
+    tokens (north-star 70B-AWQ layout, scaled down)."""
+    from umbrella_tpu.quantization.loader import quantize_params
+
+    mesh = make_mesh(model=4, data=1)
+    cfg = _cfg(4)
+    fp = init_llama_params(cfg, jax.random.PRNGKey(3), MAX_LEN, jnp.float32,
+                           packed=False)
+    qparams = quantize_params(fp, group_size=32, dtype=jnp.float32,
+                              quantize_lm_head=True)
+
+    def build_engine(tp):
+        target = ModelRuntime(cfg, qparams, MAX_LEN, dtype=jnp.float32)
+        if tp:
+            shard_runtime(target, mesh)
+        draft = ModelRuntime(
+            cfg, init_llama_params(cfg, jax.random.PRNGKey(4), MAX_LEN,
+                                   jnp.float32, packed=False),
+            MAX_LEN, dtype=jnp.float32)
+        eng = StaticEngine(
+            draft_model_name=draft, target_model_name=target, dtype=jnp.float32,
+            growmap=growmap_from_spec(2, 3), max_length=MAX_LEN, safe_buffer=16,
+            eos_token_ids=[-1])
+        eng.initialize()
+        return eng
+
+    results = []
+    for tp in (False, True):
+        eng = build_engine(tp)
         assert eng._prefill(np.asarray([1, 9, 23, 7]))
         start = eng.num_nodes
         for _ in range(3):

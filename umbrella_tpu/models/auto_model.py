@@ -107,6 +107,12 @@ class ModelRuntime:
 
     @property
     def forward(self) -> Callable:
+        if getattr(self, "_tp", False):
+            # tensor-parallel runtimes (parallel.mesh.shard_runtime) trace the
+            # forward inside shard_map with Megatron collectives
+            from ..parallel.mesh import tp_shard_map_forward
+
+            return tp_shard_map_forward(self)
         args = self.gemma_args if self.family == "gemma2" else self.args
 
         def fwd(params, kv, input_ids, position_ids, attn_mask, write_offset):

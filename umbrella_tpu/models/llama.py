@@ -44,6 +44,11 @@ class StaticModelArgs(NamedTuple):
     rms_eps: float
     n_layers: int
     awq_act_int8: bool = False  # W4A8 opt-in (ModelConfig.awq_act == "int8")
+    # Tensor-parallel mesh axis. When set, the forward runs INSIDE shard_map with
+    # local shapes (num_heads/num_kv_heads are per-shard counts) and inserts the
+    # Megatron-style collectives itself: psum after wo and down, all-gather of
+    # vocab-sharded logits (parallel/mesh.py builds these args).
+    tp_axis: Optional[str] = None
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, n_layers: Optional[int] = None) -> "StaticModelArgs":
@@ -146,8 +151,11 @@ def llama_attention(
     kv = update_layer(kv, layer_idx, k, v, write_offset)
     out = attend(q, kv.k, kv.v, attn_mask, kv_limit=write_offset + S,
                  k_scale=kv.k_scale, v_scale=kv.v_scale, layer_idx=layer_idx)
-    return _linear(out.reshape(S, args.num_heads * D), lw["wo"],
-                   act_int8=args.awq_act_int8), kv
+    out = _linear(out.reshape(S, args.num_heads * D), lw["wo"],
+                  act_int8=args.awq_act_int8)
+    if args.tp_axis is not None:  # row-parallel wo: sum the K-partial products
+        out = lax.psum(out, args.tp_axis)
+    return out, kv
 
 
 def llama_layer(
@@ -173,6 +181,8 @@ def llama_layer(
     hidden = rms_norm(hidden, lw["post_norm"], args.rms_eps)
     gate, up = _mlp_gate_up(lw, hidden, act_int8=args.awq_act_int8)
     hidden = _linear(jax.nn.silu(gate) * up, lw["down"], act_int8=args.awq_act_int8)
+    if args.tp_axis is not None:  # row-parallel down: sum the K-partial products
+        hidden = lax.psum(hidden, args.tp_axis)
     return residual + hidden, kv
 
 
@@ -215,7 +225,12 @@ def llama_forward(
         (hidden, kv), _ = lax.scan(body, (hidden, kv), (layer_ids, layers))
 
     hidden = rms_norm(hidden, params["final_norm"], args.rms_eps)
-    return lm_head_logits(params, hidden), kv
+    logits = lm_head_logits(params, hidden)
+    if args.tp_axis is not None and "lm_head" in params:
+        # vocab-sharded head -> local [S, V/m] logits; engines need the full row
+        # (tied heads compute against the replicated embed, already full-width)
+        logits = lax.all_gather(logits, args.tp_axis, axis=-1, tiled=True)
+    return logits, kv
 
 
 def lm_head_logits(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:

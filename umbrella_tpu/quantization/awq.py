@@ -141,6 +141,32 @@ def quantize_matrix(w: np.ndarray, group_size: int = 128):
             scales.astype(np.float32))
 
 
+def repack_row_shards(q: AwqTensor, m: int) -> AwqTensor:
+    """Re-pack split-halves w8 for row-parallel (K-axis) sharding over m shards.
+
+    Global split-halves packs logical row r with row r+K/2 into one byte — a plain
+    row split of w8 would give each shard nibbles from two far-apart K blocks,
+    mismatching its contiguous scales/zeros block. This re-packs so each of the m
+    contiguous w8 row-blocks is a standalone split-halves pack of its own K/m
+    logical rows: after `P('model', None)` sharding, every shard holds a
+    self-consistent AwqTensor for its K-block. The repacked GLOBAL tensor is only
+    meaningful under that sharding (dequantize() on it whole would misorder rows),
+    so it is applied at shard time (parallel/mesh.py), never to resident weights.
+    """
+    if m == 1:
+        return q
+    K, N = q.k, q.n
+    assert K % (2 * m) == 0, f"K={K} must divide 2*model axis ({2*m})"
+    w8 = np.asarray(q.w8).view(np.uint8)
+    lo = w8 & 0xF
+    hi = w8 >> 4
+    w = np.concatenate([lo, hi], axis=0)  # [K, N] logical row order
+    blocks = w.reshape(m, K // m, N)
+    half = K // (2 * m)
+    repacked = (blocks[:, :half] | (blocks[:, half:] << 4)).astype(np.uint8)
+    return q._replace(w8=jnp.asarray(repacked.reshape(K // 2, N).view(np.int8)))
+
+
 def dequantize(q: AwqTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Full dequant to [K, N] dtype (the many-token path; XLA fuses into the matmul)."""
     g = q.group_size
