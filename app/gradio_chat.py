@@ -20,7 +20,7 @@ from umbrella_tpu.templates import Prompts, SysPrompts
 parser = argparse.ArgumentParser()
 parser.add_argument("--configuration", type=str,
                     default="configs/chat_config_8b_v5e.json")
-args = parser.parse_args()
+args = parser.parse_known_args()[0]  # import-safe (tests import this module)
 
 with open(args.configuration) as f:
     config = json.load(f)
@@ -30,9 +30,39 @@ config.pop("generation_length", None)
 config.pop("max_turns", None)
 
 
+def _strip_perf(text: str) -> str:
+    """Drop the trailing \"\\n\\n`perf log`\" suffix chat() appends for display."""
+    if text.endswith("`") and "\n\n`" in text:
+        return text.rsplit("\n\n`", 1)[0]
+    return text
+
+
+def _history_context(history) -> str:
+    """Rebuild the prompt from all prior turns (the reference threads full history
+    into every request, ref `app/gradio_chat.py:33-37`). Handles both gradio
+    history formats: (user, assistant) pairs and role/content message dicts."""
+    context = ""
+    pending_user = None
+    for turn in history or []:
+        if isinstance(turn, dict):  # "messages" format
+            content = turn.get("content", "")
+            if not isinstance(content, str):
+                continue
+            if turn.get("role") == "user":
+                pending_user = content
+            elif turn.get("role") == "assistant" and pending_user is not None:
+                context += Prompts[template].format(pending_user) + _strip_perf(content)
+                pending_user = None
+        else:  # legacy tuple format
+            user_msg, bot_msg = turn
+            context += Prompts[template].format(user_msg) + _strip_perf(bot_msg or "")
+    return context
+
+
 def build_app(engine):
     def chat(message, history, temperature, topp, repetition_penalty, max_new_tokens):
-        context = SysPrompts[template] + Prompts[template].format(message)
+        context = (SysPrompts[template] + _history_context(history)
+                   + Prompts[template].format(message))
         stream = engine.generate_stream(
             context=context, max_new_tokens=int(max_new_tokens),
             temperature=float(temperature), topp=float(topp),

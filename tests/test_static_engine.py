@@ -88,8 +88,9 @@ def test_self_draft_accepts_full_path(runtimes):
     assert eng._prefill(np.asarray([3, 7, 11]))
     eng.build_tree()
     eng.verify()
-    # 3x4 tree has a depth-4 root path; full acceptance commits 4 nodes
-    assert eng.num_nodes == 3 + 5 or eng.num_nodes >= 3 + 4
+    # full acceptance commits exactly one node per tree level (root + the whole
+    # deepest speculated path) — anything less means the accept rule lost a node
+    assert eng.num_nodes == 3 + eng.growmap.num_levels
 
 
 def test_generate_api_contract(runtimes):

@@ -147,8 +147,13 @@ class AutoModelLM:
         dtype=jnp.bfloat16,
         exit_layer: int = -1,
         num_cache_layers: int = 0,
+        packed: bool = True,
         **kwargs,
     ) -> ModelRuntime:
+        """packed=False keeps q/k/v and gate/up as separate weights — required for
+        tensor-parallel sharding (column shards of a packed wqkv would straddle
+        section boundaries, parallel/mesh.llama_param_specs). Ignored by the gemma
+        and offload loaders (neither layout is TP-shardable)."""
         cfg = ModelConfig.from_pretrained(model_name)
         family = resolve_family(model_name, cfg)
         if family == "qwen2":
@@ -164,7 +169,7 @@ class AutoModelLM:
             return load_awq_runtime(
                 model_name, cfg, max_length=max_length, dtype=dtype,
                 family=family, n_layers=n_layers, offload=offload,
-                num_cache_layers=num_cache_layers,
+                num_cache_layers=num_cache_layers, packed=packed,
             )
         if offload:
             from ..offload.streaming import OffloadModelRuntime
@@ -178,7 +183,8 @@ class AutoModelLM:
 
             params = load_gemma_params(model_name, cfg, max_length, dtype, n_layers=n_layers)
         else:
-            params = load_llama_params(model_name, cfg, max_length, dtype, n_layers=n_layers)
+            params = load_llama_params(model_name, cfg, max_length, dtype,
+                                       n_layers=n_layers, packed=packed)
         return ModelRuntime(
             cfg, params, max_length, dtype=dtype, family=family, n_layers=n_layers,
             model_name=model_name,

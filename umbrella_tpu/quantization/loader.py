@@ -99,7 +99,8 @@ def awq_params_from_hf_state_dict(
 
 def load_awq_runtime(path: str, cfg: ModelConfig, max_length: int, dtype=jnp.bfloat16,
                      family: str = "llama", n_layers: Optional[int] = None,
-                     offload: bool = False, num_cache_layers: int = 0):
+                     offload: bool = False, num_cache_layers: int = 0,
+                     packed: bool = True):
     sd = _load_state_dict_np(path)
     if offload:
         from ..offload.streaming import OffloadModelRuntime
@@ -110,7 +111,8 @@ def load_awq_runtime(path: str, cfg: ModelConfig, max_length: int, dtype=jnp.bfl
             model_name=path)
     from ..models.auto_model import ModelRuntime
 
-    params = awq_params_from_hf_state_dict(sd, cfg, max_length, dtype, n_layers=n_layers)
+    params = awq_params_from_hf_state_dict(sd, cfg, max_length, dtype, n_layers=n_layers,
+                                           packed=packed)
     return ModelRuntime(cfg, params, max_length, dtype=dtype, family=family,
                         n_layers=n_layers, model_name=path)
 

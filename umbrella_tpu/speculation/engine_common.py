@@ -58,18 +58,31 @@ class SpecEngineBase(BaseEngine):
         # V=128k on TPU; proposals only — committed output is unaffected, see
         # ops/sampling.draft_topk). 1.0 => exact lax.top_k.
         self.draft_topk_recall = float(kwargs.pop("draft_topk_recall", 0.99))
+        # tensor_parallel: N shards the TARGET over an N-device ICI mesh
+        # (Megatron column/row specs, shard_map forward — parallel/mesh.py) and
+        # replicates the draft; the north-star 70B-AWQ pod config's serving axis.
+        self.tensor_parallel = int(kwargs.pop("tensor_parallel", 0) or 0)
+        self.mesh = None
         self.config = kwargs
 
     # ------------------------------------------------------------ model setup
 
-    def _load_model(self, spec, offload: bool) -> ModelRuntime:
+    def _load_model(self, spec, offload: bool, packed: bool = True) -> ModelRuntime:
         if isinstance(spec, str):
             return AutoModelLM.from_pretrained(
                 spec, offload=offload, max_length=self.max_length, dtype=self.dtype,
-                **self.config)
+                packed=packed, **self.config)
         return spec
 
     def _init_models_and_state(self):
+        tp = self.tensor_parallel
+        if tp > 1:
+            from ..parallel.mesh import make_mesh
+
+            assert not self.config.get("offload", False), (
+                "tensor_parallel and offload are mutually exclusive: TP shards "
+                "resident weights over the mesh, offload streams them from host DRAM")
+            self.mesh = make_mesh(model=tp)
         self.draft_model = self._load_model(self.draft_model_name, offload=False)
         if self.config.get("quantize_draft", False):
             # W4-quantize an fp draft in process (TPU extension; the draft re-reads
@@ -84,7 +97,15 @@ class SpecEngineBase(BaseEngine):
                 self.draft_model = quantize_runtime(
                     self.draft_model, dtype=self.dtype, quantize_lm_head=True)
         self.target_model = self._load_model(
-            self.target_model_name, offload=self.config.get("offload", False))
+            self.target_model_name, offload=self.config.get("offload", False),
+            packed=(tp <= 1))
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_runtime
+
+            if not getattr(self.target_model, "_tp", False):
+                shard_runtime(self.target_model, self.mesh)
+            if not getattr(self.draft_model, "_mesh", None):
+                shard_runtime(self.draft_model, self.mesh, replicated=True)
 
         if self.tokenizer is None and isinstance(self.target_model_name, str):
             from transformers import AutoTokenizer
