@@ -178,6 +178,50 @@ def main():
     except Exception as e:
         batched_detail = {"batched4_error": f"{type(e).__name__}: {e}"[:200]}
 
+    # ---- secondary: acceptance EVIDENCE above the random floor --------------
+    # Early-exit self-draft (first 8 of 16 layers, shared weights — the
+    # reference's exit_layer trick, ref llama.py:421,450-451) against a target
+    # whose later layers are damped (trained-model-like concentration; random
+    # uniform layers would make truncation an UNcorrelated draft). Validates the
+    # avg_accept_tokens accounting end-to-end at acceptance > floor and gives a
+    # tok/s point with REAL multi-token commits per verify.
+    accept_detail = {}
+    try:
+        import gc
+
+        from umbrella_tpu.models.auto_model import ModelRuntime, early_exit_runtime
+
+        gc.collect()
+        damped_params = dict(target.params)
+        damped_layers = dict(target.params["layers"])
+        for k in ("wo", "down"):
+            damped_layers[k] = damped_layers[k].at[8:].multiply(0.05)
+        damped_params["layers"] = damped_layers
+        target_ee = ModelRuntime(target_cfg, damped_params, max_len, dtype=dtype)
+        draft_ee = early_exit_runtime(target_ee, exit_layer=8)
+        eng3 = StaticEngine(
+            draft_model_name=draft_ee, target_model_name=target_ee, dtype=dtype,
+            growmap=gm, max_length=max_len, eos_token_ids=[-100], temperature=0.0)
+        eng3.initialize()
+        assert eng3._prefill(prompt)
+        eng3._decode_fused(8)  # warmup/compile
+        eng3.reset()
+        assert eng3._prefill(prompt)
+        s3 = eng3.num_nodes
+        jax.block_until_ready(eng3.tokens)
+        t0 = time.time()
+        steps3 = eng3._decode_fused(192)
+        dt3 = time.time() - t0
+        dec3 = eng3.num_nodes - s3 + 1
+        accept_detail = {
+            "accept_evidence_avg_accept_tokens": round(dec3 / steps3, 2),
+            "accept_evidence_tokens_per_sec": round(dec3 / dt3, 2),
+            "accept_evidence_setup": "early-exit(8/16) shared-weight draft, damped tail",
+        }
+        del eng3
+    except Exception as e:
+        accept_detail = {"accept_evidence_error": f"{type(e).__name__}: {e}"[:200]}
+
     result = {
         "metric": "spec_decode_tokens_per_sec_1b_target_68m_draft_greedy",
         "value": round(toks_per_sec, 2),
@@ -193,6 +237,7 @@ def main():
             "note": "random weights => acceptance floor ~1/step; value is a lower bound",
             **awq_detail,
             **batched_detail,
+            **accept_detail,
         },
     }
     print(json.dumps(result))

@@ -349,3 +349,24 @@ def test_engine_quantize_draft_flag_lossless(tiny_cfg):
     produced = eng.tokens_host[start : eng.num_nodes + 1].tolist()
     oracle = _greedy_ar_decode(target, prompt, len(produced))
     assert produced == oracle[: len(produced)]
+
+
+def test_quantize_pack_device_matches_numpy():
+    """Device-side quantize+pack (quantize_pack_device) must produce bit-identical
+    AwqTensors to the numpy quantize_matrix + pack_tpu_layout path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from umbrella_tpu.quantization.awq import (
+        pack_tpu_layout, quantize_matrix, quantize_pack_device)
+
+    rng = np.random.default_rng(11)
+    for K, N, g in [(256, 128, 64), (128, 384, 32)]:
+        w = (rng.standard_normal((K, N)) * 0.1).astype(np.float32)
+        int_w, int_z, scales = quantize_matrix(w, g)
+        ref = pack_tpu_layout(int_w, int_z, scales, dtype=jnp.float32)
+        got = quantize_pack_device(jnp.asarray(w), g, dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(got.w8), np.asarray(ref.w8))
+        np.testing.assert_allclose(np.asarray(got.scales), np.asarray(ref.scales),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(got.zeros), np.asarray(ref.zeros))

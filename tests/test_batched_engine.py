@@ -172,6 +172,74 @@ def test_step_many_segment_matches_stepwise(models):
     assert toks == oracle[: len(toks)]
 
 
+def test_batched_int8_kv_forward_tracks_fp(models):
+    """int8 batched KV (per-slot scales, kv_dtype="int8"): the batched forward
+    with a quantized cache stays close to the fp-cache forward."""
+    _, target = models
+    B, S = 2, 5
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.integers(0, 97, (B, S)), jnp.int32)
+    offsets = jnp.asarray([0, 6], jnp.int32)
+    pos = offsets[:, None] + jnp.arange(S)[None, :]
+    masks = jnp.stack([causal_mask_rows(offsets[b], S, MAX_LEN) for b in range(B)])
+
+    kv_q = init_batched_kv(target.cfg, B, MAX_LEN, "int8")
+    assert kv_q.quantized and kv_q.k.dtype == jnp.int8
+    got_q, kv_q = batched_llama_forward(
+        target.params, target.args, kv_q, ids, pos, masks, offsets)
+    kv_f = init_batched_kv(target.cfg, B, MAX_LEN, jnp.float32)
+    got_f, _ = batched_llama_forward(
+        target.params, target.args, kv_f, ids, pos, masks, offsets)
+    # int8 KV quantization error is small relative to logit scale
+    err = np.abs(np.asarray(got_q) - np.asarray(got_f)).max()
+    ref = np.abs(np.asarray(got_f)).max()
+    assert err < 0.05 * ref, (err, ref)
+
+
+def test_batched_engine_int8_kv_decode(models):
+    """kv_dtype="int8" through the serving engine: decode runs, commits, and the
+    compaction preserves quantized scales."""
+    draft, target = models
+    eng = BatchedStaticEngine(
+        draft_model_name=draft, target_model_name=target, batch_size=2,
+        dtype=jnp.float32, growmap=growmap_from_spec(3, 4), max_length=MAX_LEN,
+        safe_buffer=32, eos_token_ids=[-1], kv_dtype="int8")
+    eng.initialize()
+    assert eng.kv_target.quantized and eng.kv_target.k.dtype == jnp.int8
+    assert eng.admit(0, [1, 17, 42, 9]) and eng.admit(1, [3, 3, 7])
+    starts = [int(eng.num_nodes[b]) for b in range(2)]
+    for _ in range(4):
+        eng.step()
+    for b in range(2):
+        toks = eng.tokens_host[b, starts[b]: int(eng.num_nodes[b])]
+        assert int(eng.num_nodes[b]) - starts[b] >= 4
+        assert (toks >= 0).all() and (toks < target.cfg.vocab_size).all()
+
+
+def test_batched_b8_mixed_greedy_stochastic_slots(models):
+    """B=8, half the slots stochastic: greedy slots must stay TOKEN-IDENTICAL to
+    the single-slot AR oracle regardless of what their neighbors sample."""
+    draft, target = models
+    eng = _batched_engine(models, B=8)
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(1, 97, rng.integers(2, 7)).tolist() for _ in range(8)]
+    starts = []
+    for b, p in enumerate(prompts):
+        assert eng.admit(b, p)
+        starts.append(int(eng.num_nodes[b]))
+    tv = np.asarray([0.0, 0.9, 0.0, 0.7, 0.0, 1.1, 0.0, 0.8], np.float32)
+    for _ in range(4):
+        eng.step(temperature=tv, topp=np.full(8, 0.9, np.float32),
+                 penalty=np.ones(8, np.float32))
+    for b in range(0, 8, 2):  # the greedy slots
+        produced = eng.tokens_host[b, starts[b]: int(eng.num_nodes[b]) + 1].tolist()
+        assert len(produced) >= 5
+        oracle = _greedy_ar_decode(target, prompts[b], len(produced))
+        assert produced == oracle[: len(produced)], f"greedy slot {b} diverged"
+    for b in range(1, 8, 2):  # stochastic slots made progress
+        assert int(eng.num_nodes[b]) - starts[b] >= 4
+
+
 def test_batched_engine_with_quantized_draft():
     """Batched forwards route AwqTensor weights (layers + tied W4 head) through
     the AWQ-aware linear/head paths (bench.py's batched4 configuration)."""

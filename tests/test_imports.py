@@ -42,6 +42,7 @@ def test_import(mod):
     "examples/generate.py", "examples/spec_generate.py", "examples/bench.py",
     "examples/spec_bench.py", "examples/spec_bench_python.py",
     "examples/hf_generate.py", "examples/construct_sequoia.py",
+    "examples/bench_70b.py",
     "draft/train_draft.py", "bench.py", "__graft_entry__.py",
 ])
 def test_script_syntax(script):

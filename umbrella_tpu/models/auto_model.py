@@ -191,6 +191,20 @@ class AutoModelLM:
         )
 
 
+def early_exit_runtime(runtime: ModelRuntime, exit_layer: int) -> ModelRuntime:
+    """Early-exit draft SHARING the target's weights: the first `exit_layer`
+    decoder layers + the target's own final norm and lm_head (the reference's
+    exit_layer trick, ref `llama.py:421,450-451`, loads a truncated copy; here
+    the layer stacks are sliced in place, so the draft costs no extra HBM beyond
+    its KV cache). A correlated draft like this yields acceptance far above the
+    random-draft floor — the acceptance-evidence harness and bench use it."""
+    layers = {k: v[:exit_layer] for k, v in runtime.params["layers"].items()}
+    params = dict(runtime.params, layers=layers)
+    return ModelRuntime(
+        runtime.cfg, params, runtime.max_length, dtype=runtime.dtype,
+        family=runtime.family, n_layers=exit_layer, model_name=runtime.model_name)
+
+
 def random_runtime(
     cfg: ModelConfig, max_length: int = 128, dtype=jnp.float32, seed: int = 0,
     n_layers: Optional[int] = None,

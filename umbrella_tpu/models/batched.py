@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import ModelConfig
+from ..ops.attention import attend_batched
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope
 from ..ops.select import embed_lookup, onehot
@@ -31,39 +32,71 @@ from .llama import (StaticModelArgs, _attn_projections, _linear,
 
 
 class BatchedKVCache(NamedTuple):
-    k: jnp.ndarray  # [n_layers, B, kv_heads, L, head_dim]
+    k: jnp.ndarray  # [n_layers, B, kv_heads, L, head_dim] (bf16/f32, int8 when quantized)
     v: jnp.ndarray
+    k_scale: Optional[jnp.ndarray] = None  # [n_layers, B, kv_heads, L, 1] — int8 mode
+    v_scale: Optional[jnp.ndarray] = None
 
     @property
     def batch(self) -> int:
         return self.k.shape[1]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
 
 def init_batched_kv(cfg: ModelConfig, batch: int, max_length: int,
                     dtype=jnp.bfloat16, num_layers: Optional[int] = None) -> BatchedKVCache:
     n = num_layers if num_layers is not None else cfg.num_hidden_layers
     shape = (n, batch, cfg.num_key_value_heads, max_length, cfg.resolved_head_dim)
+    if dtype in ("int8", jnp.int8):
+        sshape = shape[:-1] + (1,)
+        return BatchedKVCache(
+            k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros(sshape, jnp.float32),
+            v_scale=jnp.zeros(sshape, jnp.float32))
     return BatchedKVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
 def update_layer_batched(kv: BatchedKVCache, layer_idx, k_new, v_new, offsets):
     """Write [B, S, KVH, D] new keys/values at per-slot offsets (unrolled writes)."""
+    from .kv_cache import _quantize_block
+
     B = k_new.shape[0]
-    k, v = kv.k, kv.v
+    k, v, ks, vs = kv.k, kv.v, kv.k_scale, kv.v_scale
     for b in range(B):
         kb = k_new[b].transpose(1, 0, 2)[None, None]  # [1,1,KVH,S,D]
         vb = v_new[b].transpose(1, 0, 2)[None, None]
         idx = (layer_idx, b, 0, offsets[b], 0)
-        k = lax.dynamic_update_slice(k, kb.astype(k.dtype), idx)
-        v = lax.dynamic_update_slice(v, vb.astype(v.dtype), idx)
-    return BatchedKVCache(k, v)
+        if kv.quantized:
+            kq, kss = _quantize_block(kb)
+            vq, vss = _quantize_block(vb)
+            k = lax.dynamic_update_slice(k, kq, idx)
+            v = lax.dynamic_update_slice(v, vq, idx)
+            ks = lax.dynamic_update_slice(ks, kss, idx)
+            vs = lax.dynamic_update_slice(vs, vss, idx)
+        else:
+            k = lax.dynamic_update_slice(k, kb.astype(k.dtype), idx)
+            v = lax.dynamic_update_slice(v, vb.astype(v.dtype), idx)
+    return BatchedKVCache(k, v, ks, vs)
 
 
 def update_layer_slot(kv: BatchedKVCache, layer_idx, k_new, v_new, slot, offset):
     """Write [S, KVH, D] new keys/values for ONE (traced) slot at `offset`."""
+    from .kv_cache import _quantize_block
+
     kb = k_new.transpose(1, 0, 2)[None, None]
     vb = v_new.transpose(1, 0, 2)[None, None]
     idx = (layer_idx, slot, 0, offset, 0)
+    if kv.quantized:
+        kq, ks = _quantize_block(kb)
+        vq, vs = _quantize_block(vb)
+        return BatchedKVCache(
+            k=lax.dynamic_update_slice(kv.k, kq, idx),
+            v=lax.dynamic_update_slice(kv.v, vq, idx),
+            k_scale=lax.dynamic_update_slice(kv.k_scale, ks, idx),
+            v_scale=lax.dynamic_update_slice(kv.v_scale, vs, idx))
     return BatchedKVCache(
         k=lax.dynamic_update_slice(kv.k, kb.astype(kv.k.dtype), idx),
         v=lax.dynamic_update_slice(kv.v, vb.astype(kv.v.dtype), idx))
@@ -76,22 +109,27 @@ def gather_compact_batched(kv: BatchedKVCache, local_indices, offsets, accept_le
     B, tree_size = local_indices.shape
     pos = lax.iota(jnp.int32, tree_size)
 
-    k, v = kv.k, kv.v
+    k, v, ks, vs = kv.k, kv.v, kv.k_scale, kv.v_scale
     n_layers, _, kvh, _, D = k.shape
     for b in range(B):
         valid = (pos < accept_lens[b])[:, None]
         sel = onehot(local_indices[b], tree_size, jnp.float32) * valid
 
         def compact(buf):
+            if buf is None:
+                return None
+            last = buf.shape[-1]
             window = lax.dynamic_slice(
-                buf, (0, b, 0, offsets[b], 0), (n_layers, 1, kvh, tree_size, D))
+                buf, (0, b, 0, offsets[b], 0), (n_layers, 1, kvh, tree_size, last))
             new = jnp.einsum("ts,lbksd->lbktd", sel, window.astype(jnp.float32),
-                             preferred_element_type=jnp.float32).astype(buf.dtype)
+                             preferred_element_type=jnp.float32)
+            if buf.dtype == jnp.int8:
+                new = jnp.round(new)  # exact one-hot select; round guards fp noise
+            new = new.astype(buf.dtype)
             return lax.dynamic_update_slice(buf, new, (0, b, 0, offsets[b], 0))
 
-        k = compact(k)
-        v = compact(v)
-    return BatchedKVCache(k, v)
+        k, v, ks, vs = compact(k), compact(v), compact(ks), compact(vs)
+    return BatchedKVCache(k, v, ks, vs)
 
 
 def batched_llama_forward(
@@ -129,15 +167,10 @@ def batched_llama_forward(
         q, k = jax.vmap(lambda qq, kk, pp: apply_rope(
             qq, kk, inv_freq, rope_scale, pp))(q, k, position_ids)
         kv = update_layer_batched(kv, layer_idx, k, v, write_offsets)
-        kl = lax.dynamic_index_in_dim(kv.k, layer_idx, axis=0, keepdims=False)
-        vl = lax.dynamic_index_in_dim(kv.v, layer_idx, axis=0, keepdims=False)
-        qg = q.reshape(B, S, KVH, G, D)
-        scores = jnp.einsum("bskgd,bkld->bkgsl", qg, kl,
-                            preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(attn_mask[:, None, None, :, :], scores,
-                           jnp.finfo(jnp.float32).min)
-        probs = jax.nn.softmax(scores, axis=-1).astype(vl.dtype)
-        out = jnp.einsum("bkgsl,bkld->bskgd", probs, vl).reshape(B, S, H * D)
+        out = attend_batched(
+            q, kv.k, kv.v, attn_mask, kv_limits=write_offsets + S,
+            layer_idx=layer_idx, scale=scale,
+            k_scale=kv.k_scale, v_scale=kv.v_scale).reshape(B, S, H * D)
         hidden = residual + _linear(out, lw["wo"])
         residual = hidden
         x = rms_norm(hidden, lw["post_norm"], args.rms_eps)
@@ -189,18 +222,12 @@ def slot_llama_forward(
         v = v.reshape(S, KVH, D)
         q, k = apply_rope(q, k, inv_freq, rope_scale, position_ids)
         kv = update_layer_slot(kv, layer_idx, k, v, slot, write_offset)
-        n_l = kv.k.shape[0]
-        kl = lax.dynamic_slice(kv.k, (layer_idx, slot, 0, 0, 0),
-                               (1, 1, KVH, L, D))[0, 0]
-        vl = lax.dynamic_slice(kv.v, (layer_idx, slot, 0, 0, 0),
-                               (1, 1, KVH, L, D))[0, 0]
-        qg = q.reshape(S, KVH, G, D)
-        scores = jnp.einsum("skgd,kld->kgsl", qg, kl,
-                            preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(attn_mask[None, None, :, :], scores,
-                           jnp.finfo(jnp.float32).min)
-        probs = jax.nn.softmax(scores, axis=-1).astype(vl.dtype)
-        out = jnp.einsum("kgsl,kld->skgd", probs, vl).reshape(S, H * D)
+        out = attend_batched(
+            q[None], kv.k, kv.v, attn_mask[None],
+            kv_limits=jnp.asarray(write_offset + S, jnp.int32).reshape(1),
+            layer_idx=layer_idx, slots=jnp.asarray(slot, jnp.int32).reshape(1),
+            scale=scale, k_scale=kv.k_scale, v_scale=kv.v_scale)[0] \
+            .reshape(S, H * D)
         hidden = residual + _linear(out, lw["wo"])
         residual = hidden
         x = rms_norm(hidden, lw["post_norm"], args.rms_eps)

@@ -73,6 +73,68 @@ def attend(
                         logits_soft_cap=logits_soft_cap)
 
 
+def attend_batched(
+    q: jnp.ndarray,          # [B, S, H, D]
+    k_cache: jnp.ndarray,    # [n_layers, Bc, KVH, L, D] full batched cache
+    v_cache: jnp.ndarray,
+    mask: jnp.ndarray,       # [B, S, L] bool
+    kv_limits,               # [B] — per-slot exclusive bound on live kv slots
+    layer_idx,               # scalar layer to attend in
+    slots=None,              # [B] cache-slot indirection (prefill); None => 0..B-1
+    scale: Optional[float] = None,
+    k_scale: Optional[jnp.ndarray] = None,  # [n, Bc, KVH, L, 1] — int8 KV mode
+    v_scale: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Multi-slot attention over a batched layered KV cache (continuous-batching
+    engine). Flash path: per-slot kv_limit DMA clamp + in-kernel layer indexing
+    (no [B, KVH, L, D] slice copy per layer); dense path: the fallback/oracle."""
+    from jax import lax
+
+    B, S, H, D = q.shape
+    L = k_cache.shape[-2]
+    use_flash = ATTN_BACKEND == "flash" or (ATTN_BACKEND == "auto" and _flash_available())
+    if use_flash and L % 256 == 0:
+        from .pallas.tree_attention import attend_flash_batched
+
+        groups = H // k_cache.shape[-3]
+        block_k = 512 if S * groups <= 512 else 256
+        return attend_flash_batched(
+            q, k_cache, v_cache, mask, kv_limits, layer_idx, slots=slots,
+            scale=scale, block_k=block_k, k_scale=k_scale, v_scale=v_scale)
+
+    kl = lax.dynamic_index_in_dim(k_cache, layer_idx, axis=0, keepdims=False)
+    vl = lax.dynamic_index_in_dim(v_cache, layer_idx, axis=0, keepdims=False)
+    ksl = vsl = None
+    if k_scale is not None:
+        ksl = lax.dynamic_index_in_dim(k_scale, layer_idx, axis=0, keepdims=False)
+        vsl = lax.dynamic_index_in_dim(v_scale, layer_idx, axis=0, keepdims=False)
+    if slots is not None:
+        # per-slot row gather, unrolled over the static batch (prefill path)
+        def take(buf):
+            if buf is None:
+                return None
+            return jnp.concatenate([
+                lax.dynamic_slice(buf, (slots[b], 0, 0, 0),
+                                  (1,) + buf.shape[1:]) for b in range(B)])
+        kl, vl, ksl, vsl = take(kl), take(vl), take(ksl), take(vsl)
+    if ksl is not None:
+        kl = (kl.astype(jnp.float32) * ksl).astype(q.dtype)
+        vl = (vl.astype(jnp.float32) * vsl).astype(q.dtype)
+
+    KVH = kl.shape[1]
+    groups = H // KVH
+    if scale is None:
+        scale = 1.0 / (D ** 0.5)
+    qg = q.reshape(B, S, KVH, groups, D)
+    scores = jnp.einsum("bskgd,bkld->bkgsl", qg, kl,
+                        preferred_element_type=jnp.float32) * scale
+    scores = jnp.where(mask[:, None, None, :, :], scores,
+                       jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1).astype(vl.dtype)
+    out = jnp.einsum("bkgsl,bkld->bskgd", probs, vl)
+    return out.reshape(B, S, H, D)
+
+
 def attend_dense(
     q: jnp.ndarray,
     k_cache: jnp.ndarray,

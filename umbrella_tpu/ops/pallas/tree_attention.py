@@ -130,6 +130,205 @@ def _flash_kernel_q(nb_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref, out_r
         out_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(out_ref.dtype)
 
 
+def _flash_kernel_b(nb_ref, q_ref, k_ref, v_ref, mask_ref, out_ref,
+                    m_ref, l_ref, acc_ref, *, scale: float, soft_cap: float,
+                    groups: int, bk: int, batch: int):
+    """Batched (multi-slot) variant: grid (B, KVH, nK); each slot b has its own
+    live-window bound nb_ref[1 + batch + b] and cache row nb_ref[1 + b]."""
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+    num_needed = nb_ref[1 + batch + b]
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j < num_needed)
+    def _():
+        q = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])  # [SG, D]
+        k = k_ref[...].reshape(k_ref.shape[-2], k_ref.shape[-1])  # [bk, D]
+        v = v_ref[...].reshape(v_ref.shape[-2], v_ref.shape[-1])
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = s * scale
+        if soft_cap > 0.0:
+            s = soft_cap * jnp.tanh(s / soft_cap)
+        mask = mask_ref[...].reshape(mask_ref.shape[-2], mask_ref.shape[-1])  # [S, bk]
+        S = mask.shape[0]
+        mask_sg = jnp.broadcast_to(mask[:, None, :], (S, groups, bk)).reshape(S * groups, bk)
+        s = jnp.where(mask_sg, s, NEG_INF)
+
+        m_prev = m_ref[:]  # [SG, 1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        out_ref[...] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)) \
+            .astype(out_ref.dtype).reshape(out_ref.shape)
+
+
+def _flash_kernel_bq(nb_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref, out_ref,
+                     m_ref, l_ref, acc_ref, *, scale: float, soft_cap: float,
+                     groups: int, bk: int, batch: int):
+    """Batched int8-KV variant: per-block VMEM dequant (HBM traffic stays int8)."""
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+    num_needed = nb_ref[1 + batch + b]
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j < num_needed)
+    def _():
+        q = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])
+        kr = k_ref[...].reshape(k_ref.shape[-2], k_ref.shape[-1])
+        vr = v_ref[...].reshape(v_ref.shape[-2], v_ref.shape[-1])
+        ksr = ks_ref[...].reshape(ks_ref.shape[-2], ks_ref.shape[-1])
+        vsr = vs_ref[...].reshape(vs_ref.shape[-2], vs_ref.shape[-1])
+        k = (kr.astype(jnp.int32).astype(jnp.float32) * ksr).astype(q.dtype)
+        v = (vr.astype(jnp.int32).astype(jnp.float32) * vsr).astype(q.dtype)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = s * scale
+        if soft_cap > 0.0:
+            s = soft_cap * jnp.tanh(s / soft_cap)
+        mask = mask_ref[...].reshape(mask_ref.shape[-2], mask_ref.shape[-1])
+        S = mask.shape[0]
+        mask_sg = jnp.broadcast_to(mask[:, None, :], (S, groups, bk)).reshape(S * groups, bk)
+        s = jnp.where(mask_sg, s, NEG_INF)
+
+        m_prev = m_ref[:]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = m_new
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        out_ref[...] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)) \
+            .astype(out_ref.dtype).reshape(out_ref.shape)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "soft_cap", "block_k", "interpret"))
+def attend_flash_batched(
+    q: jnp.ndarray,  # [B, S, H, D]
+    k_cache: jnp.ndarray,  # [n_layers, Bc, KVH, L, D] (Bc >= B cache slots)
+    v_cache: jnp.ndarray,
+    mask: jnp.ndarray,  # [B, S, L] bool
+    kv_limits,  # [B] int32 — per-slot exclusive bound on live kv slots
+    layer_idx,  # scalar — layer to attend in
+    slots=None,  # [B] int32 cache-slot per grid row; None => identity (0..B-1)
+    scale: float | None = None,
+    soft_cap: float = 0.0,
+    block_k: int = 512,
+    interpret: bool = False,
+    k_scale: jnp.ndarray | None = None,  # [n_layers, Bc, KVH, L, 1] — int8 KV mode
+    v_scale: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Multi-slot flash tree-attention over a batched layered KV cache.
+
+    The per-slot `kv_limits` DMA clamp is the batched engine's analogue of the
+    reference's per-request mask slicing (`cache.py:82`): each slot reads only
+    O(its own live window) KV bytes, so the batched step stays ~flat in
+    max_length. The kernel also indexes the layer itself (scalar prefetch),
+    avoiding the XLA [B, KVH, L, D] per-layer slice copy of the dense path.
+    `slots` indirection serves the one-slot prefill path ([1, S, H, D] q against
+    an arbitrary cache row)."""
+    B, S, H, D = q.shape
+    n_layers_, Bc, KVH, L, _ = k_cache.shape
+    groups = H // KVH
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(D))
+    bk = min(block_k, L)
+    assert L % bk == 0, (L, bk)
+    nK = L // bk
+
+    SG = S * groups
+    qg = q.reshape(B, S, KVH, groups, D).transpose(0, 2, 1, 3, 4).reshape(B, KVH, SG, D)
+
+    # scalar prefetch: [0]=layer, [1:1+B]=cache slot per grid row,
+    # [1+B:1+2B]=live kv blocks per slot
+    num_needed = jnp.minimum((kv_limits + bk - 1) // bk, nK).astype(jnp.int32)
+    slot_arr = (jax.lax.iota(jnp.int32, B) if slots is None
+                else jnp.asarray(slots, jnp.int32))
+    scalars = jnp.concatenate([
+        jnp.asarray(layer_idx, jnp.int32).reshape(1), slot_arr, num_needed])
+
+    def _nb(nb, b):
+        return _scalar(nb, 1 + B + b)
+
+    q_spec = pl.BlockSpec((1, 1, SG, D), lambda b, h, j, nb: (b, h, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec(
+        (1, 1, 1, bk, D),
+        lambda b, h, j, nb: (_scalar(nb, 0), _scalar(nb, 1 + b), h,
+                             jnp.minimum(j, _nb(nb, b) - 1), 0),
+        memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec(
+        (1, 1, 1, bk, 1),
+        lambda b, h, j, nb: (_scalar(nb, 0), _scalar(nb, 1 + b), h,
+                             jnp.minimum(j, _nb(nb, b) - 1), 0),
+        memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec(
+        (1, S, bk), lambda b, h, j, nb: (b, 0, jnp.minimum(j, _nb(nb, b) - 1)),
+        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, SG, D), lambda b, h, j, nb: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((SG, 1), jnp.float32),
+        pltpu.VMEM((SG, 1), jnp.float32),
+        pltpu.VMEM((SG, D), jnp.float32),
+    ]
+    quantized = k_scale is not None
+    kern = functools.partial(
+        (_flash_kernel_bq if quantized else _flash_kernel_b),
+        scale=float(scale), soft_cap=float(soft_cap), groups=groups, bk=bk,
+        batch=B)
+    if quantized:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B, KVH, nK),
+            in_specs=[q_spec, kv_spec, kv_spec, sc_spec, sc_spec, mask_spec],
+            out_specs=out_spec, scratch_shapes=scratch)
+        out = pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, KVH, SG, D), q.dtype),
+            interpret=interpret,
+        )(scalars, qg, k_cache, v_cache, k_scale.astype(jnp.float32),
+          v_scale.astype(jnp.float32), mask)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B, KVH, nK),
+            in_specs=[q_spec, kv_spec, kv_spec, mask_spec],
+            out_specs=out_spec, scratch_shapes=scratch)
+        out = pl.pallas_call(
+            kern, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, KVH, SG, D), q.dtype),
+            interpret=interpret,
+        )(scalars, qg, k_cache, v_cache, mask)
+
+    return out.reshape(B, KVH, S, groups, D).transpose(0, 2, 1, 3, 4) \
+        .reshape(B, S, H, D)
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "soft_cap", "block_k", "interpret"))
 def attend_flash(

@@ -27,13 +27,33 @@ def initialize(coordinator_address: Optional[str] = None,
         process_id=process_id)
 
 
-def make_multihost_mesh(model_per_host: Optional[int] = None) -> Mesh:
+def order_by_process(devices) -> list:
+    """Stable-sort devices into contiguous per-process (per-host) blocks.
+
+    jax.devices() documents process-major ordering, but the mesh layout must not
+    silently break if an enumeration interleaves processes — a TP row straddling
+    hosts would put Megatron psums on DCN instead of ICI."""
+    by_proc: dict = {}
+    for d in devices:
+        by_proc.setdefault(getattr(d, "process_index", 0), []).append(d)
+    return [d for p in sorted(by_proc) for d in by_proc[p]]
+
+
+def make_multihost_mesh(model_per_host: Optional[int] = None, devices=None,
+                        local_device_count: Optional[int] = None) -> Mesh:
     """(data=hosts*spare, model=model_per_host) mesh: TP inside a host (ICI), DP
-    across hosts (DCN)."""
-    devices = jax.devices()
-    local = jax.local_device_count()
+    across hosts (DCN).
+
+    Devices are grouped by `process_index` before the reshape, so a model row
+    (one TP group) never straddles hosts even if the global enumeration
+    interleaves processes. `devices`/`local_device_count` exist for tests
+    (simulating hosts on the virtual CPU mesh) and default to the live cluster.
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    local = local_device_count or jax.local_device_count()
+    ordered = order_by_process(devices)
     model = model_per_host or local
     assert local % model == 0, "model axis must divide local chip count (stay on ICI)"
-    data = len(devices) // model
-    dev_array = np.asarray(devices).reshape(data, model)
+    data = len(ordered) // model
+    dev_array = np.asarray(ordered).reshape(data, model)
     return Mesh(dev_array, ("data", "model"))

@@ -18,7 +18,7 @@ import numpy as np
 from ..config import ModelConfig
 from ..models.weights import _load_state_dict_np, _to_jnp, trim_vocab_rows
 from ..ops.rope import rope_params
-from .awq import AwqTensor, awq_from_hf_tensors, concat_awq, pack_tpu_layout, quantize_matrix
+from .awq import AwqTensor, awq_from_hf_tensors, concat_awq
 
 
 def _stack_awq(tensors) -> tuple:
@@ -125,30 +125,31 @@ def quantize_params(params: dict, group_size: int = 128, dtype=jnp.bfloat16,
     `quantize_lm_head` also W4-quantizes an untied lm_head — a TPU extension the
     reference lacks (AutoAWQ keeps heads fp16): the untied 8B head alone is ~1 GB
     in bf16 (~1.4 ms/decode-step of pure HBM traffic)."""
+    from .awq import quantize_pack_device
+
     out_layers = dict(params["layers"])
     n = params["layers"]["input_norm"].shape[0]
     names = [k for k in ("wq", "wk", "wv", "wo", "gate", "up", "down",
                          "wqkv", "gate_up") if k in params["layers"]]
     for name in names:
-        stacked = np.asarray(params["layers"][name], np.float32)
-        ts = []
-        for i in range(n):
-            int_w, int_z, scales = quantize_matrix(stacked[i], group_size)
-            ts.append(pack_tpu_layout(int_w, int_z, scales, dtype=dtype))
-        out_layers[name] = _stack_awq(ts)
+        stacked = params["layers"][name]
+        # device-side quantize+pack (no host round-trip — pulling weights through
+        # the tunnel cost ~218 s for a 500M draft; on-device it's milliseconds)
+        out_layers[name] = _stack_awq([
+            quantize_pack_device(stacked[i], group_size, dtype=dtype)
+            for i in range(n)])
     out = dict(params)
     out["layers"] = out_layers
     if quantize_lm_head:
         if "lm_head" in params:
-            head = np.asarray(params["lm_head"], np.float32)
+            head = jnp.asarray(params["lm_head"])
         else:
             # tied embeddings: materialize a W4 head from embed.T — the logits
             # matmul re-reads the full [H, V] matrix every draft level (e.g.
             # 394 MB bf16 for a 1536x128256 draft ~ 0.5 ms/level of HBM), while
             # embed lookups only read S rows and keep using the bf16 embed.
-            head = np.asarray(params["embed"], np.float32).T
-        int_w, int_z, scales = quantize_matrix(head, group_size)
-        out["lm_head"] = pack_tpu_layout(int_w, int_z, scales, dtype=dtype)
+            head = jnp.asarray(params["embed"]).T
+        out["lm_head"] = quantize_pack_device(head, group_size, dtype=dtype)
     return out
 
 

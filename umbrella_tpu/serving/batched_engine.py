@@ -67,6 +67,9 @@ class BatchedStaticEngine:
         # recall<1 => approx_max_k draft expansion (proposals only; see
         # ops/sampling.draft_topk)
         self.draft_topk_recall = float(kwargs.pop("draft_topk_recall", 0.99))
+        # None => model dtype; "int8" halves KV HBM traffic (per-slot-scaled
+        # int8 values, dequantized in-kernel by the batched flash attention)
+        self.kv_dtype = kwargs.pop("kv_dtype", None)
         self.config = kwargs
 
     # ------------------------------------------------------------------ setup
@@ -109,11 +112,12 @@ class BatchedStaticEngine:
         self.tokens_host = np.zeros((B, L), np.int32)
         self.num_nodes = np.zeros(B, np.int64)
         self.active = np.zeros(B, bool)
+        kv_dt = self.kv_dtype or self.dtype
         self.kv_draft = init_batched_kv(
-            self.draft_model.cfg, B, L, self.dtype,
+            self.draft_model.cfg, B, L, kv_dt,
             num_layers=self.draft_model.args.n_layers)
         self.kv_target = init_batched_kv(
-            self.target_model.cfg, B, L, self.dtype,
+            self.target_model.cfg, B, L, kv_dt,
             num_layers=self.target_model.args.n_layers)
         self._key = jax.random.PRNGKey(self.seed)
 
