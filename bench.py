@@ -222,6 +222,33 @@ def main():
     except Exception as e:
         accept_detail = {"accept_evidence_error": f"{type(e).__name__}: {e}"[:200]}
 
+    # ---- secondary: 70B-AWQ-shape per-layer slope + TP/offload extrapolation --
+    # The north-star workload (reference README 70B rows, L40 = 37 tok/s). One
+    # v5e cannot hold 35 GB of W4 weights; examples/bench_70b.py slope-times one
+    # real 70B layer + lm_head on this chip and extrapolates TP=4/8 verify steps
+    # with stated (auditable) collective/bandwidth assumptions.
+    b70_detail = {}
+    try:
+        import gc
+        import os
+        import sys as _sys
+
+        gc.collect()
+        _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from examples.bench_70b import measure as measure_70b
+
+        r70 = measure_70b()
+        b70_detail = {
+            "llama70b_layer_verify_ms": r70["value"],
+            "llama70b_lm_head_ms": r70["detail"]["lm_head_ms"],
+            "llama70b_tp4": r70["detail"]["extrapolated_verify_step"]["tp4"],
+            "llama70b_tp8": r70["detail"]["extrapolated_verify_step"]["tp8"],
+            "llama70b_offload": r70["detail"]["offload_tier"],
+            "llama70b_baseline_L40_tok_s": 37.0,
+        }
+    except Exception as e:
+        b70_detail = {"llama70b_error": f"{type(e).__name__}: {e}"[:200]}
+
     result = {
         "metric": "spec_decode_tokens_per_sec_1b_target_68m_draft_greedy",
         "value": round(toks_per_sec, 2),
@@ -238,6 +265,7 @@ def main():
             **awq_detail,
             **batched_detail,
             **accept_detail,
+            **b70_detail,
         },
     }
     print(json.dumps(result))

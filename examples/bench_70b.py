@@ -53,11 +53,10 @@ def slope_time(fn, n1=4, n2=20):
     return (t2 - t1) / (n2 - n1)
 
 
-def main():
+def measure():
+    """Run the 70B-shape measurement; returns the result dict (see module doc)."""
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from umbrella_tpu.config import ModelConfig
@@ -202,7 +201,15 @@ def main():
             "baseline_L40_tok_s": 37.0,
         },
     }
-    print(json.dumps(result))
+    return result
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    print(json.dumps(measure()))
 
 
 if __name__ == "__main__":

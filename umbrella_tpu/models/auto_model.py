@@ -113,6 +113,12 @@ class ModelRuntime:
             from ..parallel.mesh import tp_shard_map_forward
 
             return tp_shard_map_forward(self)
+        if getattr(self, "_pp", False):
+            # pipeline-parallel runtimes (parallel.pipeline.shard_runtime_pp):
+            # layer blocks staged over 'pipe', per-stage KV, ppermute hops
+            from ..parallel.pipeline import pp_shard_map_forward
+
+            return pp_shard_map_forward(self)
         args = self.gemma_args if self.family == "gemma2" else self.args
 
         def fwd(params, kv, input_ids, position_ids, attn_mask, write_offset):

@@ -82,8 +82,15 @@ def _w4a16_kernel(x_lo_ref, x_hi_ref, w8_ref, s_lo_ref, z_lo_ref, s_hi_ref, z_hi
 
 
 def _pick_bn(n: int) -> int:
-    # larger bn => shorter grid => less per-step overhead (the N=128256 lm_head
-    # doesn't divide by 512 but does by 384: 794us vs 826us at 8B shape, v5e)
+    # larger bn => shorter grid => less per-step overhead. The V=128256 lm_head
+    # divides by 768 (167 steps): slope-measured 0.261 vs 0.305 ms at the
+    # K=1536 draft head (S=24, the MXU-latency floor is 0.256 ms) and 0.758 vs
+    # 0.784 ms at the K=4096 8B head (v5e, 2026-08). bn=768/bk2=2048 fp32
+    # dequant temporaries are 12.6 MB — still inside the ~16 MB VMEM budget.
+    # Layer-sized N keeps 512 (wqkv N=6144 measured 0.038 at 512 vs 0.039 at
+    # 768 — within noise; no reason to churn those shapes).
+    if n >= 65536 and n % 768 == 0:
+        return 768
     for bn in (512, 384, 256, 128):
         if n % bn == 0:
             return bn

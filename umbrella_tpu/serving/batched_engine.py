@@ -163,17 +163,35 @@ class BatchedStaticEngine:
                     tokens, rows[b][None], (b, starts[b]))
             return tokens
 
+        # Deferred-leaf build (same trick as static_engine._build_tree_phases):
+        # drop the last level's forward — at most one leaf per slot is ever
+        # accepted, and its draft KV is recomputed by the next step's level 0,
+        # which widens to the last TWO committed slots with a causal mask.
+        n_levels = len(level_static)
+        defer_leaf = n_levels >= 2
+
         def build_tree(pd, kv_d, tokens, nn, consts):
             bitmap = consts["bitmap"]
-            for ms, ma in zip(level_static, consts["levels"]):
+            for lvl, (ms, ma) in enumerate(zip(level_static, consts["levels"])):
+                if defer_leaf and lvl == n_levels - 1:
+                    continue  # leaf KV deferred to the next step's level 0
                 n = ms["n"]
-                ids = slice_rows(tokens, nn + ms["start"], n)
-                pos = nn[:, None] + ma["depth"][None, :]
-                mask = jnp.stack([
-                    tree_level_mask_rows(nn[b], bitmap, ms["start"], n, L)
-                    for b in range(B)])
-                logits, kv_d = batched_llama_forward(
-                    pd, d_args, kv_d, ids, pos, mask, nn + ms["start"])
+                if defer_leaf and lvl == 0:
+                    ids = slice_rows(tokens, nn - 1, 2)
+                    pos = (nn - 1)[:, None] + jax.lax.iota(jnp.int32, 2)[None, :]
+                    mask = jnp.stack([
+                        causal_mask_rows(nn[b] - 1, 2, L) for b in range(B)])
+                    logits, kv_d = batched_llama_forward(
+                        pd, d_args, kv_d, ids, pos, mask, nn - 1)
+                    logits = logits[:, 1:2]  # expansion samples from the root row
+                else:
+                    ids = slice_rows(tokens, nn + ms["start"], n)
+                    pos = nn[:, None] + ma["depth"][None, :]
+                    mask = jnp.stack([
+                        tree_level_mask_rows(nn[b], bitmap, ms["start"], n, L)
+                        for b in range(B)])
+                    logits, kv_d = batched_llama_forward(
+                        pd, d_args, kv_d, ids, pos, mask, nn + ms["start"])
                 if ms["topk"] > 0:
                     # top_k on the FLATTENED rows: 3D top_k at large V is ~50x
                     # slower on TPU (see ops/sampling._topk_2d)

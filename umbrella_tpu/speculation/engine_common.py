@@ -62,6 +62,10 @@ class SpecEngineBase(BaseEngine):
         # (Megatron column/row specs, shard_map forward — parallel/mesh.py) and
         # replicates the draft; the north-star 70B-AWQ pod config's serving axis.
         self.tensor_parallel = int(kwargs.pop("tensor_parallel", 0) or 0)
+        # pipeline_parallel: N stages the TARGET's layer blocks over an N-device
+        # 'pipe' mesh (per-stage KV, ppermute hops — parallel/pipeline.py). The
+        # capacity axis for models whose W4 weights exceed one chip's HBM.
+        self.pipeline_parallel = int(kwargs.pop("pipeline_parallel", 0) or 0)
         self.mesh = None
         self.config = kwargs
 
@@ -76,6 +80,9 @@ class SpecEngineBase(BaseEngine):
 
     def _init_models_and_state(self):
         tp = self.tensor_parallel
+        pp = self.pipeline_parallel
+        assert not (tp > 1 and pp > 1), (
+            "tensor_parallel and pipeline_parallel are mutually exclusive for now")
         if tp > 1:
             from ..parallel.mesh import make_mesh
 
@@ -83,6 +90,15 @@ class SpecEngineBase(BaseEngine):
                 "tensor_parallel and offload are mutually exclusive: TP shards "
                 "resident weights over the mesh, offload streams them from host DRAM")
             self.mesh = make_mesh(model=tp)
+        elif pp > 1:
+            from jax.sharding import Mesh
+
+            assert not self.config.get("offload", False), (
+                "pipeline_parallel and offload are mutually exclusive: PP shards "
+                "resident layer blocks over the mesh")
+            devices = jax.devices()
+            assert len(devices) >= pp, f"need {pp} devices, have {len(devices)}"
+            self.mesh = Mesh(np.asarray(devices[:pp]), ("pipe",))
         self.draft_model = self._load_model(self.draft_model_name, offload=False)
         if self.config.get("quantize_draft", False):
             # W4-quantize an fp draft in process (TPU extension; the draft re-reads
@@ -102,10 +118,21 @@ class SpecEngineBase(BaseEngine):
         if self.mesh is not None:
             from ..parallel.mesh import shard_runtime
 
-            if not getattr(self.target_model, "_tp", False):
-                shard_runtime(self.target_model, self.mesh)
-            if not getattr(self.draft_model, "_mesh", None):
-                shard_runtime(self.draft_model, self.mesh, replicated=True)
+            if pp > 1:
+                from ..parallel.mesh import replicate
+                from ..parallel.pipeline import shard_runtime_pp
+
+                if not getattr(self.target_model, "_pp", False):
+                    shard_runtime_pp(self.target_model, self.mesh)
+                if not getattr(self.draft_model, "_mesh", None):
+                    self.draft_model.params = replicate(
+                        self.draft_model.params, self.mesh)
+                    self.draft_model._mesh = self.mesh
+            else:
+                if not getattr(self.target_model, "_tp", False):
+                    shard_runtime(self.target_model, self.mesh)
+                if not getattr(self.draft_model, "_mesh", None):
+                    shard_runtime(self.draft_model, self.mesh, replicated=True)
 
         if self.tokenizer is None and isinstance(self.target_model_name, str):
             from transformers import AutoTokenizer

@@ -101,13 +101,38 @@ class StaticEngine(SpecEngineBase):
 
         recall = self.draft_topk_recall
 
+        # Deferred-leaf build: the LAST level's forward exists only to write draft
+        # KV for its 24-odd leaves, of which at most ONE (the accepted leaf) is
+        # ever read — and only on the NEXT step. So the leaf forward is dropped
+        # and level 0 widens to the last TWO committed slots [nn-1, nn] with a
+        # causal mask: slot nn-1 is either an already-drafted node (recompute is
+        # bit-identical — same token, position, and visible prefix) or the
+        # accepted leaf whose KV was skipped; slot nn is the root/bonus token,
+        # which never had draft KV (same reason this always worked for the bonus
+        # token). One whole draft forward (~0.7 ms at 500M-draft shapes, latency-
+        # bound regardless of level width) is saved per step.
+        defer_leaf = gm.num_levels >= 2
+        n_levels = gm.num_levels
+
         def build_tree_fn(pd, kv_d, tokens, num_nodes, consts):
+            from ..ops.masks import causal_mask_rows
+
             bitmap = consts["bitmap"]
-            for ms, ma in zip(level_static, consts["levels"]):
-                ids = jax.lax.dynamic_slice(tokens, (num_nodes + ms["start"],), (ms["n"],))
-                pos = num_nodes + ma["depth"]
-                mask = tree_level_mask_rows(num_nodes, bitmap, ms["start"], ms["n"], L)
-                logits, kv_d = d_fwd(pd, kv_d, ids, pos, mask, num_nodes + ms["start"])
+            for lvl, (ms, ma) in enumerate(zip(level_static, consts["levels"])):
+                if defer_leaf and lvl == n_levels - 1:
+                    continue  # leaf KV deferred to the next step's level 0
+                if defer_leaf and lvl == 0:
+                    ids = jax.lax.dynamic_slice(tokens, (num_nodes - 1,), (2,))
+                    pos = num_nodes - 1 + jax.lax.iota(jnp.int32, 2)
+                    mask = causal_mask_rows(num_nodes - 1, 2, L)
+                    logits, kv_d = d_fwd(pd, kv_d, ids, pos, mask, num_nodes - 1)
+                    logits = logits[1:2]  # expansion samples from the root row
+                else:
+                    ids = jax.lax.dynamic_slice(
+                        tokens, (num_nodes + ms["start"],), (ms["n"],))
+                    pos = num_nodes + ma["depth"]
+                    mask = tree_level_mask_rows(num_nodes, bitmap, ms["start"], ms["n"], L)
+                    logits, kv_d = d_fwd(pd, kv_d, ids, pos, mask, num_nodes + ms["start"])
                 if ms["topk"] > 0:
                     from ..ops.sampling import draft_topk
                     from ..ops.select import take_vec
