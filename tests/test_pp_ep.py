@@ -149,3 +149,79 @@ def test_moe_train_step_loss_decreases():
     for _ in range(12):
         state, loss = step(state, batch)
     assert float(loss) < float(first)
+
+
+# ---------------------------------------------------------------------------
+# MoE decode path (KV-cached engine-contract forward + EP sharding)
+# ---------------------------------------------------------------------------
+
+def _moe_target(seed=0, max_len=256):
+    from umbrella_tpu.models.moe import moe_runtime
+
+    cfg = ModelConfig(
+        vocab_size=211, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        rope_theta=10000.0, max_position_embeddings=max_len,
+        tie_word_embeddings=True, eos_token_id=-1)
+    params = init_moe_llama_params(cfg, jax.random.PRNGKey(seed), n_experts=4)
+    return moe_runtime(cfg, params, max_len, dtype=jnp.float32, top_k=2), cfg
+
+
+def test_moe_spec_decode_matches_moe_ar_decode():
+    """Greedy spec decode with an MoE TARGET is token-identical with plain
+    AR decode of the same MoE weights (losslessness extends to the MoE family)."""
+    from umbrella_tpu.models.auto_model import random_runtime
+    from umbrella_tpu.ops.masks import causal_mask_rows
+    from umbrella_tpu.sequoia import growmap_from_spec
+    from umbrella_tpu.speculation.static_engine import StaticEngine
+
+    max_len = 256
+    target, cfg = _moe_target()
+    draft = random_runtime(cfg, max_len, jnp.float32, seed=1)
+    prompt = [5, 9, 17, 3, 44, 71, 20, 8]
+
+    # AR oracle on the MoE runtime
+    kv = target.init_kv()
+    fwd = jax.jit(target.forward)
+    logits, kv = fwd(target.params, kv, jnp.asarray(prompt, jnp.int32),
+                     jnp.arange(len(prompt), dtype=jnp.int32),
+                     causal_mask_rows(0, len(prompt), max_len), 0)
+    toks = list(prompt) + [int(jnp.argmax(logits[len(prompt) - 1]))]
+    for _ in range(24):
+        p = len(toks) - 1
+        logits, kv = fwd(target.params, kv, jnp.asarray([toks[-1]], jnp.int32),
+                         jnp.asarray([p], jnp.int32),
+                         causal_mask_rows(p, 1, max_len), p)
+        toks.append(int(jnp.argmax(logits[0])))
+
+    gm = growmap_from_spec(3, 4, acc=[0.5, 0.3, 0.2, 0.1])
+    eng = StaticEngine(
+        draft_model_name=draft, target_model_name=target, dtype=jnp.float32,
+        growmap=gm, max_length=max_len, eos_token_ids=[-1], temperature=0.0,
+        safe_buffer=32)
+    eng.initialize()
+    out = eng.generate(input_ids=prompt, max_new_tokens=24)
+    spec = prompt + out["generated_tokens"]
+    n = min(len(spec), len(toks))
+    assert spec[:n] == toks[:n]
+
+
+def test_moe_decode_ep_sharded_matches_unsharded():
+    from umbrella_tpu.models.moe import shard_runtime_ep
+    from umbrella_tpu.ops.masks import causal_mask_rows
+
+    max_len = 256
+    target, cfg = _moe_target()
+    ids = jnp.asarray([5, 9, 17, 3], jnp.int32)
+    pos = jnp.arange(4, dtype=jnp.int32)
+    mask = causal_mask_rows(0, 4, max_len)
+    ref_logits, _ = jax.jit(target.forward)(
+        target.params, target.init_kv(), ids, pos, mask, 0)
+
+    ep_mesh = Mesh(np.asarray(jax.devices()[:2]), ("expert",))
+    target2, _ = _moe_target()
+    shard_runtime_ep(target2, ep_mesh)
+    ep_logits, _ = jax.jit(target2.forward)(
+        target2.params, target2.init_kv(), ids, pos, mask, 0)
+    np.testing.assert_allclose(np.asarray(ep_logits), np.asarray(ref_logits),
+                               rtol=1e-5, atol=1e-5)

@@ -162,6 +162,63 @@ def moe_train_forward(params: dict, args: StaticModelArgs, input_ids,
     return logits, aux / params["layers"]["input_norm"].shape[0]
 
 
+def moe_decode_forward(params: dict, args: StaticModelArgs, kv, input_ids,
+                       position_ids, attn_mask, write_offset, top_k: int = 2):
+    """Engine-contract decode forward for the MoE family: (params, kv, ids [S],
+    pos [S], mask [S, L], offset) -> (fp32 logits [S, V], kv). Attention is the
+    llama KV-cache path (models/llama.llama_attention — flash kernel, rope,
+    in-place cache writes); the MLP is the dense-dispatch top-k MoE above. With
+    params sharded via shard_params_ep, GSPMD partitions the per-expert einsums
+    over the 'expert' axis and inserts one psum for the combine — an MoE model
+    can serve as a speculation TARGET or DRAFT with expert parallelism, which
+    the reference (dense-MLP only) has no analogue of."""
+    from ..models.llama import llama_attention, lm_head_logits
+    from ..ops.select import embed_lookup
+
+    inv_freq, rope_scale = params["rope_inv_freq"], params["rope_scale"]
+    hidden = embed_lookup(params["embed"], input_ids, params["final_norm"].dtype)
+
+    def body(carry, xs):
+        hidden, kv = carry
+        layer_idx, lw = xs
+        residual = hidden
+        x = rms_norm(hidden, lw["input_norm"], args.rms_eps)
+        attn_out, kv = llama_attention(
+            args, lw, x, kv, layer_idx, position_ids, attn_mask, write_offset,
+            inv_freq, rope_scale)
+        hidden = residual + attn_out
+        residual = hidden
+        x = rms_norm(hidden, lw["post_norm"], args.rms_eps)
+        mlp, _aux = moe_mlp(lw, x[None], top_k=top_k)
+        return (residual + mlp[0], kv), None
+
+    layer_ids = jax.lax.iota(jnp.int32, args.n_layers)
+    (hidden, kv), _ = jax.lax.scan(body, (hidden, kv),
+                                   (layer_ids, params["layers"]))
+    hidden = rms_norm(hidden, params["final_norm"], args.rms_eps)
+    return lm_head_logits(params, hidden), kv
+
+
+def moe_runtime(cfg: ModelConfig, params: dict, max_length: int,
+                dtype=jnp.float32, top_k: int = 2):
+    """ModelRuntime serving the MoE family (drop-in for the speculation engines)."""
+    import functools
+
+    from ..models.auto_model import ModelRuntime
+
+    rt = ModelRuntime(cfg, params, max_length, dtype=dtype, family="moe")
+    rt._forward = functools.partial(moe_decode_forward, top_k=top_k)
+    return rt
+
+
+def shard_runtime_ep(runtime, mesh: Mesh):
+    """Expert-shard a MoE runtime's params in place (KV/activations replicated;
+    jit propagates the shardings, GSPMD inserts the combine psum)."""
+    runtime.params = shard_params_ep(runtime.params, mesh)
+    runtime._mesh = mesh
+    return runtime
+
+
 def make_moe_train_step(args: StaticModelArgs, optimizer, top_k: int = 2,
                         aux_weight: float = 0.01):
     from ..training.draft_trainer import TrainState
