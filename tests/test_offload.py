@@ -118,3 +118,22 @@ def test_offload_pipelined_stream_loop_lossless(resident):
     produced = eng.tokens_host[start : eng.num_nodes + 1].tolist()
     oracle = _greedy_ar_decode(resident, prompt, len(produced))
     assert produced == oracle[: len(produced)]
+
+
+def test_streamed_forward_traced_matches_and_reports(resident):
+    off = OffloadModelRuntime.from_params(
+        resident.params, resident.cfg, MAX_LEN, dtype=jnp.float32,
+        num_cache_layers=1)
+    S = 7
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 97, S), jnp.int32)
+    pos = jnp.arange(S)
+    mask = causal_mask_rows(0, S, MAX_LEN)
+
+    ref, _ = off.streamed_forward(off.init_kv(), ids, pos, mask, jnp.int32(0))
+    got, _, stats = off.streamed_forward_traced(
+        off.init_kv(), ids, pos, mask, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+    assert stats["n_layers"] == off.n_layers and stats["n_resident"] == 1
+    assert stats["compute_ms"] > 0
+    assert stats["overlap"] in ("compute-bound", "DMA-bound")
+    assert len(stats["per_layer_head"]) == min(4, off.n_layers)

@@ -235,6 +235,62 @@ class OffloadModelRuntime:
         logits = self._head_jit(top, hidden)
         return logits, kv
 
+    def streamed_forward_traced(self, kv, input_ids, position_ids, attn_mask,
+                                write_offset):
+        """streamed_forward with per-layer overlap accounting: returns
+        (logits, kv, stats). For each layer i the H2D stream of layer i+1 is
+        issued before layer i's compute dispatch (same as the fast path); the
+        harness then measures (a) layer i's compute wall time and (b) the
+        EXPOSED stream time — how long layer i+1's weights kept the pipeline
+        waiting after compute finished. exposed == 0 means the stream hid
+        completely under compute (the reference's whole 70B story,
+        ref llama.py:196-212). MEASUREMENT ONLY: the per-layer syncs serialize
+        the dispatch pipeline, so this is slower than streamed_forward; the
+        split itself is what transfers to production hosts (on this sandbox
+        the "H2D" path is a network tunnel, so expect DMA-bound — see
+        CLAUDE.md and examples/bench_70b.py for the PCIe-class projection)."""
+        import time
+
+        top = self.top
+        hidden = self._embed_jit(top, input_ids)
+        nxt = self._fetch_layer(0)
+        jax.block_until_ready(nxt)
+        np.asarray(jax.tree.leaves(nxt)[0])  # arm block_until_ready (CLAUDE.md)
+        compute_s, exposed_s = 0.0, 0.0
+        per_layer = []
+        for i in range(self.n_layers):
+            cur = nxt
+            if i + 1 < self.n_layers:
+                nxt = self._fetch_layer(i + 1)  # stream issued BEFORE compute
+            t0 = time.time()
+            hidden, kv = self._layer_jit(cur, hidden, kv, jnp.int32(i),
+                                         position_ids, attn_mask, write_offset,
+                                         top["rope_inv_freq"], top["rope_scale"])
+            jax.block_until_ready(hidden)
+            tc = time.time() - t0
+            t1 = time.time()
+            if i + 1 < self.n_layers:
+                jax.block_until_ready(nxt)
+            te = time.time() - t1
+            compute_s += tc
+            exposed_s += te
+            per_layer.append({"compute_ms": round(1000 * tc, 3),
+                              "stream_exposed_ms": round(1000 * te, 3)})
+        logits = self._head_jit(top, hidden)
+        n_streamed = max(self.n_layers - len(self.resident), 1)
+        stats = {
+            "n_layers": self.n_layers,
+            "n_resident": len(self.resident),
+            "compute_ms": round(1000 * compute_s, 2),
+            "stream_exposed_ms": round(1000 * exposed_s, 2),
+            "overlap": "compute-bound" if exposed_s < 0.1 * compute_s
+                       else "DMA-bound",
+            "exposed_ms_per_streamed_layer": round(
+                1000 * exposed_s / n_streamed, 3),
+            "per_layer_head": per_layer[:4],
+        }
+        return logits, kv, stats
+
     # engine-facing helpers (same contract as ModelRuntime)
     @property
     def forward(self):

@@ -56,6 +56,53 @@ def tree_mask_rows(
     return committed | tree_part
 
 
+def causal_mask_rows_batched(q_starts, q_len: int, kv_len: int) -> jnp.ndarray:
+    """Bool [B, q_len, kv_len]: row (b, i) may attend slot j iff j <= q_starts[b]+i."""
+    B = q_starts.shape[0]
+    rows = lax.broadcasted_iota(jnp.int32, (B, q_len, kv_len), 1)
+    cols = lax.broadcasted_iota(jnp.int32, (B, q_len, kv_len), 2)
+    return cols <= (rows + q_starts[:, None, None])
+
+
+def _tree_part_batched(rows_bitmap: jnp.ndarray, num_nodes, kv_len: int):
+    """Place [R, T] bitmap rows at per-slot column offset num_nodes[b] -> [B, R, kv_len].
+
+    Gather-free: sel[b, t, l] = (l == num_nodes[b] + t) is a one-hot placement
+    matrix and the shift becomes an exact einsum — the batched analogue of the
+    single-slot `dynamic_update_slice` shift (same rationale: no 2-D-index
+    gathers on this runtime, module docstring)."""
+    T = rows_bitmap.shape[1]
+    tpos = lax.broadcasted_iota(jnp.int32, (num_nodes.shape[0], T, kv_len), 1)
+    cols = lax.broadcasted_iota(jnp.int32, (num_nodes.shape[0], T, kv_len), 2)
+    sel = (cols == num_nodes[:, None, None] + tpos).astype(jnp.float32)
+    part = jnp.einsum("rt,btl->brl", rows_bitmap.astype(jnp.float32), sel,
+                      preferred_element_type=jnp.float32)
+    return part > 0.5
+
+
+def tree_mask_rows_batched(num_nodes, tree_bitmap: jnp.ndarray,
+                           kv_len: int) -> jnp.ndarray:
+    """Bool [B, tree_size, kv_len]: per-slot verify masks (tree_mask_rows over a
+    vector of committed lengths, with NO per-slot python unrolling — one traced
+    computation regardless of B)."""
+    B = num_nodes.shape[0]
+    tree_size = tree_bitmap.shape[0]
+    cols = lax.broadcasted_iota(jnp.int32, (B, tree_size, kv_len), 2)
+    committed = cols < num_nodes[:, None, None]
+    return committed | _tree_part_batched(tree_bitmap, num_nodes, kv_len)
+
+
+def tree_level_mask_rows_batched(num_nodes, tree_bitmap: jnp.ndarray,
+                                 row_start: int, n_rows: int,
+                                 kv_len: int) -> jnp.ndarray:
+    """Bool [B, n_rows, kv_len] draft-level masks for all slots at once."""
+    B = num_nodes.shape[0]
+    rows = lax.slice_in_dim(tree_bitmap, row_start, row_start + n_rows, axis=0)
+    cols = lax.broadcasted_iota(jnp.int32, (B, n_rows, kv_len), 2)
+    committed = cols < num_nodes[:, None, None]
+    return committed | _tree_part_batched(rows, num_nodes, kv_len)
+
+
 def tree_level_mask_rows(
     num_nodes,  # scalar committed prefix length
     tree_bitmap: jnp.ndarray,  # bool [tree_size, tree_size]

@@ -31,7 +31,8 @@ from ..models.batched import (
     BatchedKVCache, batched_llama_forward, gather_compact_batched,
     init_batched_kv, slot_llama_forward)
 from ..ops import sampling as S
-from ..ops.masks import causal_mask_rows, tree_level_mask_rows, tree_mask_rows
+from ..ops.masks import (causal_mask_rows, causal_mask_rows_batched,
+                         tree_level_mask_rows_batched, tree_mask_rows_batched)
 from ..ops.select import onehot
 from ..speculation.spec_utils import next_bucket
 from ..speculation.tree import GrowMap
@@ -151,17 +152,34 @@ class BatchedStaticEngine:
         topk = self.topk
         cap = self.max_length - self.safe_buffer
 
+        # slice_rows/write_rows: one traced computation for ANY batch size —
+        # per-slot offsets become one-hot placement matrices and the moves are
+        # exact einsums/selects (token ids < 2^24 are exact in f32). This keeps
+        # XLA program size flat in B (the previous unrolled dynamic slices grew
+        # the step program linearly with slots); per-slot KV writes stay
+        # unrolled (models/batched.py) because those move [KVH, S, D] blocks
+        # where a full-L one-hot recombine would cost real bandwidth.
+        def _row_sel(starts, n):
+            """Bool [B, n, L]: sel[b, i, l] = (l == starts[b] + i)."""
+            rpos = jax.lax.broadcasted_iota(jnp.int32, (B, n, L), 1)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (B, n, L), 2)
+            return cols == starts[:, None, None] + rpos
+
         def slice_rows(tokens, starts, n):
-            """[B, n] rows tokens[b, starts[b] : starts[b]+n] (unrolled slices)."""
-            return jnp.stack([
-                jax.lax.dynamic_slice(tokens, (b, starts[b]), (1, n))[0]
-                for b in range(B)])
+            """[B, n] rows tokens[b, starts[b] : starts[b]+n]."""
+            sel = _row_sel(starts, n).astype(jnp.float32)
+            vals = jnp.einsum("bnl,bl->bn", sel, tokens.astype(jnp.float32),
+                              preferred_element_type=jnp.float32)
+            return vals.astype(jnp.int32)
 
         def write_rows(tokens, rows, starts):
-            for b in range(B):
-                tokens = jax.lax.dynamic_update_slice(
-                    tokens, rows[b][None], (b, starts[b]))
-            return tokens
+            n = rows.shape[1]
+            sel = _row_sel(starts, n)
+            vals = jnp.einsum("bn,bnl->bl", rows.astype(jnp.float32),
+                              sel.astype(jnp.float32),
+                              preferred_element_type=jnp.float32)
+            in_window = jnp.any(sel, axis=1)
+            return jnp.where(in_window, vals.astype(jnp.int32), tokens)
 
         # Deferred-leaf build (same trick as static_engine._build_tree_phases):
         # drop the last level's forward — at most one leaf per slot is ever
@@ -179,17 +197,15 @@ class BatchedStaticEngine:
                 if defer_leaf and lvl == 0:
                     ids = slice_rows(tokens, nn - 1, 2)
                     pos = (nn - 1)[:, None] + jax.lax.iota(jnp.int32, 2)[None, :]
-                    mask = jnp.stack([
-                        causal_mask_rows(nn[b] - 1, 2, L) for b in range(B)])
+                    mask = causal_mask_rows_batched(nn - 1, 2, L)
                     logits, kv_d = batched_llama_forward(
                         pd, d_args, kv_d, ids, pos, mask, nn - 1)
                     logits = logits[:, 1:2]  # expansion samples from the root row
                 else:
                     ids = slice_rows(tokens, nn + ms["start"], n)
                     pos = nn[:, None] + ma["depth"][None, :]
-                    mask = jnp.stack([
-                        tree_level_mask_rows(nn[b], bitmap, ms["start"], n, L)
-                        for b in range(B)])
+                    mask = tree_level_mask_rows_batched(
+                        nn, bitmap, ms["start"], n, L)
                     logits, kv_d = batched_llama_forward(
                         pd, d_args, kv_d, ids, pos, mask, nn + ms["start"])
                 if ms["topk"] > 0:
@@ -212,7 +228,7 @@ class BatchedStaticEngine:
 
             ids = slice_rows(tokens, nn, T)
             pos = nn[:, None] + consts["depth"][None, :]
-            mask = jnp.stack([tree_mask_rows(nn[b], bitmap, L) for b in range(B)])
+            mask = tree_mask_rows_batched(nn, bitmap, L)
             logits, kv_t = batched_llama_forward(
                 pt, t_args, kv_t, ids, pos, mask, nn)
 

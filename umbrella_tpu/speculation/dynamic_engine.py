@@ -80,18 +80,33 @@ class DynamicEngine(SpecEngineBase):
         )
 
         def build_tree_fn(pd, kv_d, tokens, num_nodes, consts):
+            from ..ops.masks import causal_mask_rows
+
             ri = jax.lax.broadcasted_iota(jnp.int32, (tree_size, tree_size), 0)
             ci = jax.lax.broadcasted_iota(jnp.int32, (tree_size, tree_size), 1)
             bitmap = ri == ci
             parents = jnp.zeros(tree_size, jnp.int32)
             tree_score = jnp.zeros(tree_size, jnp.float32)
             lvl_start = 0
-            for step in range(D + 1):
-                dec_len = 1 if step == 0 else W
-                ids = jax.lax.dynamic_slice(tokens, (num_nodes + lvl_start,), (dec_len,))
-                pos = num_nodes + step + jnp.zeros((dec_len,), jnp.int32)
-                mask = tree_level_mask_rows(num_nodes, bitmap, lvl_start, dec_len, L)
-                logits, kv_d = d_fwd(pd, kv_d, ids, pos, mask, num_nodes + lvl_start)
+            # Deferred-leaf build (see static_engine._build_tree_phases): the
+            # last level's forward only writes leaf KV; drop it and let level 0
+            # recompute the (at most one) accepted leaf's KV next step by
+            # widening to the last TWO committed slots with a causal mask.
+            for step in range(D):
+                if step == 0:
+                    dec_len = 1
+                    ids = jax.lax.dynamic_slice(tokens, (num_nodes - 1,), (2,))
+                    pos = num_nodes - 1 + jax.lax.iota(jnp.int32, 2)
+                    mask = causal_mask_rows(num_nodes - 1, 2, L)
+                    logits, kv_d = d_fwd(pd, kv_d, ids, pos, mask, num_nodes - 1)
+                    logits = logits[1:2]  # expansion scores from the root row
+                else:
+                    dec_len = W
+                    ids = jax.lax.dynamic_slice(
+                        tokens, (num_nodes + lvl_start,), (dec_len,))
+                    pos = num_nodes + step + jnp.zeros((dec_len,), jnp.int32)
+                    mask = tree_level_mask_rows(num_nodes, bitmap, lvl_start, dec_len, L)
+                    logits, kv_d = d_fwd(pd, kv_d, ids, pos, mask, num_nodes + lvl_start)
                 if step < D:
                     from ..ops.select import onehot, take_vec
 
