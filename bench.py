@@ -243,6 +243,7 @@ def main():
             "llama70b_lm_head_ms": r70["detail"]["lm_head_ms"],
             "llama70b_tp4": r70["detail"]["extrapolated_verify_step"]["tp4"],
             "llama70b_tp8": r70["detail"]["extrapolated_verify_step"]["tp8"],
+            "llama70b_pp4": r70["detail"]["extrapolated_verify_step"]["pp4"],
             "llama70b_offload": r70["detail"]["offload_tier"],
             "llama70b_baseline_L40_tok_s": 37.0,
         }

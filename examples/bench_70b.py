@@ -159,6 +159,16 @@ def measure():
     # build ~8 ms in BENCH_r01; 1B draft ~ similar order) at reference-class
     # acceptance (the reference's 70B rows embed ~4-6 accepted tokens/step)
     draft_ms = 8.0
+    # PP=4 capacity tier (parallel/pipeline.py): weights fit 4 chips with ZERO
+    # per-matmul collectives — at B=1 the verify latency is the full-model
+    # compute (fill bubble) plus 3 activation hops of [S, H] bf16 over ICI.
+    hop = 3 * S * H * 2 / ici_bw
+    step["pp4"] = {
+        "verify_ms": round(1000 * (N_LAYERS * layer_s + head_s + hop), 2),
+        "collective_ms": round(1000 * hop, 3),
+        "fits_hbm": bool(w4_total / 4 < 14e9),
+        "note": "capacity axis: B=1 latency = full-model compute (fill bubble)",
+    }
     for tp_key, d in step.items():
         total_ms = d["verify_ms"] + draft_ms
         d["proj_tok_s_accept3"] = round(3 * 1000 / total_ms, 1)
