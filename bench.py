@@ -159,24 +159,26 @@ def main():
             pass
         gc.collect()
         draft_b = quantize_runtime(draft, dtype=dtype, quantize_lm_head=True)
+        B = 8  # measured 478 tok/s aggregate at B=8 vs 338 at B=4 (v5e) — the
+        # batched jits are program-size-flat in B (one-hot row/mask selects)
         beng = BatchedStaticEngine(
-            draft_model_name=draft_b, target_model_name=target, batch_size=4,
+            draft_model_name=draft_b, target_model_name=target, batch_size=B,
             dtype=dtype, growmap=gm, max_length=max_len, eos_token_ids=[-100],
             segment_steps=16)
         beng.initialize()
         reqs = [dict(input_ids=rng.integers(0, 120000, size=128).astype(
-            np.int32).tolist(), max_new_tokens=160) for _ in range(8)]
-        beng.run(reqs[:4])  # warmup: compiles prefill buckets + the segment
+            np.int32).tolist(), max_new_tokens=160) for _ in range(2 * B)]
+        beng.run(reqs[:B])  # warmup: compiles prefill buckets + the segment
         tb0 = time.time()
         outs = beng.run(reqs)
         dtb = time.time() - tb0
         total = sum(len(o["generated_tokens"]) for o in outs)
         batched_detail = {
-            "batched4_tokens_per_sec": round(total / dtb, 2),
-            "batched4_setup": "4 slots, 8 requests, fused 16-step segments",
+            f"batched{B}_tokens_per_sec": round(total / dtb, 2),
+            f"batched{B}_setup": f"{B} slots, {2*B} requests, fused 16-step segments",
         }
     except Exception as e:
-        batched_detail = {"batched4_error": f"{type(e).__name__}: {e}"[:200]}
+        batched_detail = {"batched8_error": f"{type(e).__name__}: {e}"[:200]}
 
     # ---- secondary: acceptance EVIDENCE above the random floor --------------
     # Early-exit self-draft (first 8 of 16 layers, shared weights — the

@@ -113,3 +113,20 @@ def test_tensor_parallel_offload_rejected(tmp_path):
     eng = AutoEngine.from_config(**config)
     with pytest.raises(AssertionError, match="mutually exclusive"):
         eng.initialize()
+
+
+def test_pipeline_parallel_config_end_to_end(tmp_path):
+    """`pipeline_parallel: N` in the config drives a staged-decode engine through
+    the same config-only UX (configs/chat_config_70b_awq_pp4.json at test scale);
+    committed tokens identical to the unsharded engine."""
+    target = _write_fp_dir(tmp_path, "target_pp", seed=0)
+    draft = _write_fp_dir(tmp_path, "draft_pp", seed=1)
+    config = dict(
+        model=target, draft_model=draft, engine="static", growmap_path=TREE,
+        max_length=MAX_LEN, safe_buffer=16, temperature=0.0,
+        eos_token_ids=[-1], tokenizer=object(), dtype=jnp.float32,
+    )
+    _, ref = _decode_tokens(config)
+    eng, pp = _decode_tokens(dict(config, pipeline_parallel=2))
+    assert pp == ref and len(ref) >= 3
+    assert getattr(eng.target_model, "_pp", False)
