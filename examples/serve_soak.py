@@ -1,0 +1,113 @@
+"""Serving soak: ContinuousBatcher under concurrent load on one chip.
+
+The reference serves ONE request at a time through a mutex-guarded worker
+(`umbrella/api/server.py:43-55`); this measures the TPU-native serving story —
+B slots decoding in one compiled step, requests admitted continuously — under a
+Poisson-ish open load of mixed-length requests, and reports aggregate
+throughput plus per-request latency percentiles (the numbers a deployment
+actually SLOs on).
+
+Random weights => acceptance floor; throughput is a lower bound, latency
+percentiles reflect real scheduling/queueing. One JSON line. Run:
+`python examples/serve_soak.py [--batch 8] [--requests 32]`.
+"""
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--requests", type=int, default=32)
+    p.add_argument("--max-new", type=int, default=128)
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from umbrella_tpu.config import ModelConfig
+    from umbrella_tpu.models.auto_model import random_runtime
+    from umbrella_tpu.quantization.loader import quantize_runtime
+    from umbrella_tpu.sequoia import growmap_from_spec
+    from umbrella_tpu.serving.batched_engine import (BatchedStaticEngine,
+                                                     ContinuousBatcher)
+
+    max_len = 2048
+    target_cfg = ModelConfig(
+        vocab_size=128256, hidden_size=2048, intermediate_size=8192,
+        num_hidden_layers=16, num_attention_heads=32, num_key_value_heads=8,
+        rope_theta=500000.0, max_position_embeddings=max_len,
+        tie_word_embeddings=True, eos_token_id=-100)
+    draft_cfg = ModelConfig(
+        vocab_size=128256, hidden_size=768, intermediate_size=3072,
+        num_hidden_layers=2, num_attention_heads=12, num_key_value_heads=12,
+        rope_theta=500000.0, max_position_embeddings=max_len,
+        tie_word_embeddings=True, eos_token_id=-100)
+    dtype = jnp.bfloat16
+    target = random_runtime(target_cfg, max_len, dtype=dtype, seed=0)
+    draft = quantize_runtime(random_runtime(draft_cfg, max_len, dtype=dtype, seed=1),
+                             dtype=dtype, quantize_lm_head=True)
+    gm = growmap_from_spec(5, 6, acc=[0.55, 0.2, 0.1, 0.06, 0.05, 0.04])
+    eng = BatchedStaticEngine(
+        draft_model_name=draft, target_model_name=target, batch_size=args.batch,
+        dtype=dtype, growmap=gm, max_length=max_len, eos_token_ids=[-100],
+        segment_steps=8)
+    eng.initialize()
+    # warmup compile (prefill buckets + segment) before the timed soak
+    rng = np.random.default_rng(0)
+    eng.run([dict(input_ids=rng.integers(0, 120000, size=100).astype(np.int32)
+                  .tolist(), max_new_tokens=16) for _ in range(args.batch)])
+
+    batcher = ContinuousBatcher(eng)
+    batcher.start()
+    lat, sizes = [], []
+    t0 = time.time()
+    futs = []
+    for i in range(args.requests):
+        n_prompt = int(rng.integers(32, 256))
+        n_new = int(rng.integers(args.max_new // 2, args.max_new))
+        ts = time.time()
+        fut = batcher.submit(
+            input_ids=rng.integers(0, 120000, size=n_prompt).astype(np.int32)
+            .tolist(), max_new_tokens=n_new)
+        futs.append((fut, ts, n_new))
+        time.sleep(0.02)  # open-loop-ish arrivals
+    total_tokens = 0
+    for fut, ts, n_new in futs:
+        out = fut.result(timeout=600)
+        lat.append(time.time() - ts)
+        total_tokens += len(out["generated_tokens"])
+    wall = time.time() - t0
+    batcher.shutdown()
+
+    lat_ms = np.sort(np.asarray(lat) * 1000)
+    result = {
+        "metric": "serving_soak_aggregate_tokens_per_sec",
+        "value": round(total_tokens / wall, 2),
+        "unit": "tokens/s",
+        "detail": {
+            "platform": jax.devices()[0].platform,
+            "batch_slots": args.batch,
+            "requests": args.requests,
+            "total_tokens": total_tokens,
+            "wall_s": round(wall, 2),
+            "latency_p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
+            "latency_p90_ms": round(float(np.percentile(lat_ms, 90)), 1),
+            "latency_p99_ms": round(float(np.percentile(lat_ms, 99)), 1),
+            "note": "random weights => acceptance floor; throughput is a lower bound",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -112,3 +112,18 @@ def test_pp_kv_scratch_isolated():
     k_pp = np.asarray(pp_eng.kv_target.k)[:, :, :n]
     np.testing.assert_allclose(k_pp, k_ref, rtol=2e-5, atol=2e-5)
     assert pp_eng.kv_target.k.shape[2] == MAX_LEN + 512  # scratch tail exists
+
+
+def test_pp_decode_int8_kv_matches_unsharded_int8():
+    """PP staging composes with the int8 KV cache: quantized writes/compaction
+    happen per stage and the scratch-tail diversion covers the scale planes."""
+    cfg = _cfg()
+    ref = _decode(_engine(random_runtime(cfg, MAX_LEN, jnp.float32, seed=0),
+                          random_runtime(cfg, MAX_LEN, jnp.float32, seed=1),
+                          kv_dtype="int8"),
+                  PROMPT)
+    pp = _decode(_engine(random_runtime(cfg, MAX_LEN, jnp.float32, seed=0),
+                         random_runtime(cfg, MAX_LEN, jnp.float32, seed=1),
+                         kv_dtype="int8", pipeline_parallel=2),
+                 PROMPT)
+    assert pp == ref
