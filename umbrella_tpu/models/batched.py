@@ -171,11 +171,17 @@ def batched_llama_forward(
             q, kv.k, kv.v, attn_mask, kv_limits=write_offsets + S,
             layer_idx=layer_idx, scale=scale,
             k_scale=kv.k_scale, v_scale=kv.v_scale).reshape(B, S, H * D)
-        hidden = residual + _linear(out, lw["wo"])
+        attn = _linear(out, lw["wo"])
+        if args.tp_axis is not None:  # row-parallel wo: sum the K-partial products
+            attn = lax.psum(attn, args.tp_axis)
+        hidden = residual + attn
         residual = hidden
         x = rms_norm(hidden, lw["post_norm"], args.rms_eps)
         gate, up = _mlp_gate_up(lw, x)
-        hidden = residual + _linear(jax.nn.silu(gate) * up, lw["down"])
+        mlp = _linear(jax.nn.silu(gate) * up, lw["down"])
+        if args.tp_axis is not None:  # row-parallel down
+            mlp = lax.psum(mlp, args.tp_axis)
+        hidden = residual + mlp
         return (hidden, kv), None
 
     layers = params["layers"]
@@ -188,7 +194,11 @@ def batched_llama_forward(
         (hidden, kv), _ = lax.scan(body, (hidden, kv), (layer_ids, layers))
 
     hidden = rms_norm(hidden, params["final_norm"], args.rms_eps)
-    return lm_head_logits(params, hidden), kv
+    logits = lm_head_logits(params, hidden)
+    if args.tp_axis is not None and "lm_head" in params:
+        # vocab-sharded head -> local [B, S, V/m] logits; gather the full row
+        logits = lax.all_gather(logits, args.tp_axis, axis=-1, tiled=True)
+    return logits, kv
 
 
 def slot_llama_forward(
@@ -228,11 +238,17 @@ def slot_llama_forward(
             layer_idx=layer_idx, slots=jnp.asarray(slot, jnp.int32).reshape(1),
             scale=scale, k_scale=kv.k_scale, v_scale=kv.v_scale)[0] \
             .reshape(S, H * D)
-        hidden = residual + _linear(out, lw["wo"])
+        attn = _linear(out, lw["wo"])
+        if args.tp_axis is not None:  # row-parallel wo: sum the K-partial products
+            attn = lax.psum(attn, args.tp_axis)
+        hidden = residual + attn
         residual = hidden
         x = rms_norm(hidden, lw["post_norm"], args.rms_eps)
         gate, up = _mlp_gate_up(lw, x)
-        hidden = residual + _linear(jax.nn.silu(gate) * up, lw["down"])
+        mlp = _linear(jax.nn.silu(gate) * up, lw["down"])
+        if args.tp_axis is not None:  # row-parallel down
+            mlp = lax.psum(mlp, args.tp_axis)
+        hidden = residual + mlp
         return (hidden, kv), None
 
     layers = params["layers"]
@@ -245,4 +261,7 @@ def slot_llama_forward(
         (hidden, kv), _ = lax.scan(body, (hidden, kv), (layer_ids, layers))
 
     hidden = rms_norm(hidden, params["final_norm"], args.rms_eps)
-    return lm_head_logits(params, hidden), kv
+    logits = lm_head_logits(params, hidden)
+    if args.tp_axis is not None and "lm_head" in params:
+        logits = lax.all_gather(logits, args.tp_axis, axis=-1, tiled=True)
+    return logits, kv

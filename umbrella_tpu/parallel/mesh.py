@@ -192,6 +192,60 @@ def shard_runtime(runtime, mesh: Mesh, replicated: bool = False):
     return runtime
 
 
+def batched_kv_specs(kv) -> object:
+    """Spec tree mirroring a BatchedKVCache: k/v [n, B, KVH, L, D] and (int8 mode)
+    per-slot scales [n, B, KVH, L, 1] shard on the kv-head axis (axis 2); the slot
+    axis stays unsharded so every device holds all slots' local heads."""
+    return jax.tree.map(
+        lambda x: P(*([None, None, "model"] + [None] * (x.ndim - 3))), kv)
+
+
+def shard_batched_kv(kv, mesh: Mesh):
+    return jax.device_put(kv, _specs_to_shardings(batched_kv_specs(kv), mesh))
+
+
+def tp_batched_forwards(runtime):
+    """shard_map-wrapped batched/slot forwards for a TP-sharded runtime — the
+    continuous-batching analogue of `tp_shard_map_forward` (north-star config[4]:
+    continuous batching OVER a tensor-sharded target). Returns
+    (batched_fwd, slot_fwd) with the engine-facing signatures of
+    models/batched.{batched_llama_forward, slot_llama_forward} minus `args`
+    (bound here with LOCAL per-shard head counts + the tp collectives)."""
+    from ..models.batched import batched_llama_forward, slot_llama_forward
+
+    mesh = runtime._mesh
+    m = mesh.shape["model"]
+    args = runtime.args._replace(
+        num_heads=runtime.args.num_heads // m,
+        num_kv_heads=runtime.args.num_kv_heads // m,
+        tp_axis="model")
+    param_specs = llama_param_specs(runtime.params)
+
+    def batched_fwd(params, kv, input_ids, position_ids, attn_mask, write_offsets):
+        def local(params, kv, ids, pos, mask, offs):
+            return batched_llama_forward(params, args, kv, ids, pos, mask, offs)
+
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(param_specs, batched_kv_specs(kv), P(), P(), P(), P()),
+            out_specs=(P(), batched_kv_specs(kv)),
+            check_vma=False,
+        )(params, kv, input_ids, position_ids, attn_mask, write_offsets)
+
+    def slot_fwd(params, kv, input_ids, position_ids, attn_mask, slot, write_offset):
+        def local(params, kv, ids, pos, mask, slot, off):
+            return slot_llama_forward(params, args, kv, ids, pos, mask, slot, off)
+
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(param_specs, batched_kv_specs(kv), P(), P(), P(), P(), P()),
+            out_specs=(P(), batched_kv_specs(kv)),
+            check_vma=False,
+        )(params, kv, input_ids, position_ids, attn_mask, slot, write_offset)
+
+    return batched_fwd, slot_fwd
+
+
 def tp_shard_map_forward(runtime):
     """Engine-contract forward (params, kv, ids, pos, mask, off) -> (logits, kv)
     that runs the llama forward INSIDE `jax.shard_map` over the runtime's mesh:

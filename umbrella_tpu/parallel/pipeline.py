@@ -182,7 +182,7 @@ def shard_runtime_pp(runtime, mesh: Mesh, scratch: int = 512):
     n_stages = mesh.shape["pipe"]
     assert runtime.family != "gemma2", "PP forward currently covers the llama family"
     assert runtime.args.n_layers % n_stages == 0, (
-        f"n_layers ({runtime.args.n_layers}) must divide pipe stages ({n_stages})")
+        f"n_layers ({runtime.args.n_layers}) must be divisible by pipe stages ({n_stages})")
     layers = stack_awq_layers(runtime.params["layers"])
     params = dict(runtime.params, layers=layers)
     specs = pp_infer_param_specs(params)

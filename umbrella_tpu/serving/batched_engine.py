@@ -48,7 +48,7 @@ class BatchedStaticEngine:
 
     def __init__(self, draft_model_name: Union[str, ModelRuntime],
                  target_model_name: Union[str, ModelRuntime],
-                 batch_size: int = 4, dtype=jnp.bfloat16, **kwargs):
+                 batch_size: int = 4, dtype=jnp.bfloat16, device=None, **kwargs):
         growmap_path = kwargs.pop("growmap_path", None)
         growmap_obj = kwargs.pop("growmap", None)
         assert growmap_path is not None or growmap_obj is not None
@@ -57,6 +57,7 @@ class BatchedStaticEngine:
         self.target_model_name = target_model_name
         self.batch_size = batch_size
         self.dtype = dtype
+        self.device = device  # config parity; jax picks the backend
         self.max_length = kwargs.pop("max_length", 4096)
         self.safe_buffer = kwargs.pop("safe_buffer", 64)
         self.topk = kwargs.pop("topk", 32)  # static (tree-verify top-k filter width)
@@ -65,12 +66,33 @@ class BatchedStaticEngine:
         self.tokenizer = kwargs.pop("tokenizer", None)
         self.eos_token_ids = kwargs.pop("eos_token_ids", None)
         self.seed = kwargs.pop("seed", 0)
+        # default per-request sampling params (requests may override per slot)
+        self.temperature = kwargs.pop("temperature", 0.0)
+        self.topp = kwargs.pop("topp", 0.9)
+        self.repetition_penalty = kwargs.pop("repetition_penalty", 1.0)
         # recall<1 => approx_max_k draft expansion (proposals only; see
         # ops/sampling.draft_topk)
         self.draft_topk_recall = float(kwargs.pop("draft_topk_recall", 0.99))
         # None => model dtype; "int8" halves KV HBM traffic (per-slot-scaled
         # int8 values, dequantized in-kernel by the batched flash attention)
         self.kv_dtype = kwargs.pop("kv_dtype", None)
+        self.quantize_draft = kwargs.pop("quantize_draft", False)
+        # tensor_parallel: N shards the TARGET (weights + batched KV on kv heads)
+        # over an N-device ICI mesh and replicates the draft — continuous batching
+        # OVER a tensor-sharded model, the north-star config[4] composition the
+        # reference cannot express (one-request-at-a-time GPU, ref server.py:43-55).
+        self.tensor_parallel = int(kwargs.pop("tensor_parallel", 0) or 0)
+        pp = int(kwargs.pop("pipeline_parallel", 0) or 0)
+        if pp > 1:
+            raise ValueError(
+                "BatchedStaticEngine does not support pipeline_parallel; use "
+                "tensor_parallel for sharded continuous batching (or the "
+                "single-slot static engine for PP staged decode)")
+        if kwargs.pop("offload", False):
+            raise ValueError(
+                "BatchedStaticEngine requires resident models (offload is a "
+                "single-slot capacity tier; shard with tensor_parallel instead)")
+        self.mesh = None
         self.config = kwargs
 
     # ------------------------------------------------------------------ setup
@@ -79,7 +101,7 @@ class BatchedStaticEngine:
         if isinstance(spec, str):
             return AutoModelLM.from_pretrained(
                 spec, offload=False, max_length=self.max_length, dtype=self.dtype,
-                **self.config)
+                packed=(self.tensor_parallel <= 1), **self.config)
         return spec
 
     def initialize(self):
@@ -100,6 +122,21 @@ class BatchedStaticEngine:
         assert self.draft_model.family != "gemma2" \
             and self.target_model.family != "gemma2", \
             "batched engine currently covers the llama-family forward"
+        if self.quantize_draft:
+            from ..quantization.awq import has_awq_layers
+            from ..quantization.loader import quantize_runtime
+
+            if not has_awq_layers(self.draft_model.params["layers"]):
+                self.draft_model = quantize_runtime(
+                    self.draft_model, dtype=self.dtype, quantize_lm_head=True)
+        if self.tensor_parallel > 1:
+            from ..parallel.mesh import make_mesh, shard_runtime
+
+            self.mesh = make_mesh(model=self.tensor_parallel)
+            if not getattr(self.target_model, "_tp", False):
+                shard_runtime(self.target_model, self.mesh)
+            if not getattr(self.draft_model, "_mesh", None):
+                shard_runtime(self.draft_model, self.mesh, replicated=True)
 
         if self.tokenizer is None and isinstance(self.target_model_name, str):
             from transformers import AutoTokenizer
@@ -120,6 +157,11 @@ class BatchedStaticEngine:
         self.kv_target = init_batched_kv(
             self.target_model.cfg, B, L, kv_dt,
             num_layers=self.target_model.args.n_layers)
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate, shard_batched_kv
+
+            self.kv_draft = replicate(self.kv_draft, self.mesh)
+            self.kv_target = shard_batched_kv(self.kv_target, self.mesh)
         self._key = jax.random.PRNGKey(self.seed)
 
         level_static, level_arrays = [], []
@@ -144,10 +186,28 @@ class BatchedStaticEngine:
 
     # ------------------------------------------------------------------ jits
 
+    def _model_forwards(self, runtime):
+        """(batched_fwd, slot_fwd) for one model: plain closures over its static
+        args, or shard_map-wrapped TP forwards for a sharded runtime."""
+        if getattr(runtime, "_tp", False):
+            from ..parallel.mesh import tp_batched_forwards
+
+            return tp_batched_forwards(runtime)
+        args = runtime.args
+
+        def batched_fwd(params, kv, ids, pos, mask, offsets):
+            return batched_llama_forward(params, args, kv, ids, pos, mask, offsets)
+
+        def slot_fwd(params, kv, ids, pos, mask, slot, offset):
+            return slot_llama_forward(params, args, kv, ids, pos, mask, slot, offset)
+
+        return batched_fwd, slot_fwd
+
     def _build_jits(self):
         B, L, T = self.batch_size, self.max_length, self.tree_size
         recall = self.draft_topk_recall
-        d_args, t_args = self.draft_model.args, self.target_model.args
+        d_fwd, d_slot_fwd = self._model_forwards(self.draft_model)
+        t_fwd, t_slot_fwd = self._model_forwards(self.target_model)
         level_static = self._level_static
         topk = self.topk
         cap = self.max_length - self.safe_buffer
@@ -195,19 +255,21 @@ class BatchedStaticEngine:
                     continue  # leaf KV deferred to the next step's level 0
                 n = ms["n"]
                 if defer_leaf and lvl == 0:
-                    ids = slice_rows(tokens, nn - 1, 2)
-                    pos = (nn - 1)[:, None] + jax.lax.iota(jnp.int32, 2)[None, :]
-                    mask = causal_mask_rows_batched(nn - 1, 2, L)
-                    logits, kv_d = batched_llama_forward(
-                        pd, d_args, kv_d, ids, pos, mask, nn - 1)
+                    # clamp: never-admitted slots have nn == 0; without the clamp
+                    # their rows would trace offset -1 (fully-masked attention +
+                    # a KV write relying on kernel-side clamping — fragile)
+                    starts = jnp.maximum(nn - 1, 0)
+                    ids = slice_rows(tokens, starts, 2)
+                    pos = starts[:, None] + jax.lax.iota(jnp.int32, 2)[None, :]
+                    mask = causal_mask_rows_batched(starts, 2, L)
+                    logits, kv_d = d_fwd(pd, kv_d, ids, pos, mask, starts)
                     logits = logits[:, 1:2]  # expansion samples from the root row
                 else:
                     ids = slice_rows(tokens, nn + ms["start"], n)
                     pos = nn[:, None] + ma["depth"][None, :]
                     mask = tree_level_mask_rows_batched(
                         nn, bitmap, ms["start"], n, L)
-                    logits, kv_d = batched_llama_forward(
-                        pd, d_args, kv_d, ids, pos, mask, nn + ms["start"])
+                    logits, kv_d = d_fwd(pd, kv_d, ids, pos, mask, nn + ms["start"])
                 if ms["topk"] > 0:
                     # top_k on the FLATTENED rows: 3D top_k at large V is ~50x
                     # slower on TPU (see ops/sampling._topk_2d)
@@ -229,8 +291,7 @@ class BatchedStaticEngine:
             ids = slice_rows(tokens, nn, T)
             pos = nn[:, None] + consts["depth"][None, :]
             mask = tree_mask_rows_batched(nn, bitmap, L)
-            logits, kv_t = batched_llama_forward(
-                pt, t_args, kv_t, ids, pos, mask, nn)
+            logits, kv_t = t_fwd(pt, kv_t, ids, pos, mask, nn)
 
             if use_pen:
                 logits = jnp.stack([
@@ -366,9 +427,8 @@ class BatchedStaticEngine:
             ids = jax.lax.dynamic_slice(tokens, (slot, start), (1, bucket))[0]
             pos = start + jax.lax.iota(jnp.int32, bucket)
             mask = causal_mask_rows(start, bucket, L)
-            _, kv_d = slot_llama_forward(pd, d_args, kv_d, ids, pos, mask, slot, start)
-            logits, kv_t = slot_llama_forward(pt, t_args, kv_t, ids, pos, mask,
-                                              slot, start)
+            _, kv_d = d_slot_fwd(pd, kv_d, ids, pos, mask, slot, start)
+            logits, kv_t = t_slot_fwd(pt, kv_t, ids, pos, mask, slot, start)
             if emit:
                 row = jax.lax.dynamic_slice(
                     logits, (n_valid - 1, 0), (1, logits.shape[1]))[0]
@@ -430,9 +490,12 @@ class BatchedStaticEngine:
         """One batched build+verify step over all slots. Returns per-slot
         (accept_len, committed_tokens_including_trailing) for active slots."""
         B, T = self.batch_size, self.tree_size
-        tv = np.zeros(B, np.float32) if temperature is None else np.asarray(temperature, np.float32)
-        pv = np.full(B, 0.9, np.float32) if topp is None else np.asarray(topp, np.float32)
-        rv = np.ones(B, np.float32) if penalty is None else np.asarray(penalty, np.float32)
+        tv = np.full(B, self.temperature, np.float32) if temperature is None \
+            else np.asarray(temperature, np.float32)
+        pv = np.full(B, self.topp, np.float32) if topp is None \
+            else np.asarray(topp, np.float32)
+        rv = np.full(B, self.repetition_penalty, np.float32) if penalty is None \
+            else np.asarray(penalty, np.float32)
         use_pen = bool(np.any(rv > 1.01))
         all_greedy = bool(np.all(tv < 0.05))
         self._key, sub = jax.random.split(self._key)
@@ -468,11 +531,11 @@ class BatchedStaticEngine:
         num_nodes/active/tokens_host wholesale. Returns per-slot step counts
         (steps where the slot was active) for accept-rate accounting."""
         B = self.batch_size
-        tv = np.zeros(B, np.float32) if temperature is None \
+        tv = np.full(B, self.temperature, np.float32) if temperature is None \
             else np.asarray(temperature, np.float32)
-        pv = np.full(B, 0.9, np.float32) if topp is None \
+        pv = np.full(B, self.topp, np.float32) if topp is None \
             else np.asarray(topp, np.float32)
-        rv = np.ones(B, np.float32) if penalty is None \
+        rv = np.full(B, self.repetition_penalty, np.float32) if penalty is None \
             else np.asarray(penalty, np.float32)
         use_pen = bool(np.any(rv > 1.01))
         all_greedy = bool(np.all(tv < 0.05))
@@ -532,13 +595,13 @@ class BatchedStaticEngine:
 
         admit_from_queue()
         while any(self.active):
-            tv = np.zeros(B, np.float32)
-            pv = np.full(B, 0.9, np.float32)
-            rv = np.ones(B, np.float32)
+            tv = np.full(B, self.temperature, np.float32)
+            pv = np.full(B, self.topp, np.float32)
+            rv = np.full(B, self.repetition_penalty, np.float32)
             for b, (_, req) in slot_req.items():
-                tv[b] = req.get("temperature", 0.0)
-                pv[b] = req.get("topp", 0.9)
-                rv[b] = req.get("repetition_penalty", 1.0)
+                tv[b] = req.get("temperature", self.temperature)
+                pv[b] = req.get("topp", self.topp)
+                rv[b] = req.get("repetition_penalty", self.repetition_penalty)
             steps_seg = self.step_many(seg, stop_at, tv, pv, rv)
             total_steps += seg
             for b in list(slot_req):
@@ -631,13 +694,13 @@ class ContinuousBatcher:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
                 continue
-            tv = np.zeros(B, np.float32)
-            pv = np.full(B, 0.9, np.float32)
-            rv = np.ones(B, np.float32)
+            tv = np.full(B, eng.temperature, np.float32)
+            pv = np.full(B, eng.topp, np.float32)
+            rv = np.full(B, eng.repetition_penalty, np.float32)
             for b, (req, _) in slot_req.items():
-                tv[b] = req.get("temperature", 0.0)
-                pv[b] = req.get("topp", 0.9)
-                rv[b] = req.get("repetition_penalty", 1.0)
+                tv[b] = req.get("temperature", eng.temperature)
+                pv[b] = req.get("topp", eng.topp)
+                rv[b] = req.get("repetition_penalty", eng.repetition_penalty)
             steps_seg = eng.step_many(eng.segment_steps, stop_at, tv, pv, rv)
             for b in list(slot_req):
                 slot_steps[b] += int(steps_seg[b])

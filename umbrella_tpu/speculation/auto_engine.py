@@ -1,8 +1,45 @@
-"""Engine dispatch from JSON config (reference `speculation/auto_engine.py:4-22`)."""
+"""Engine dispatch from JSON config (reference `speculation/auto_engine.py:4-22`).
+
+Beyond the reference: `from_config` validates config keys against the selected
+engine's consumed-key allowlist. The reference's engines silently swallow unknown
+kwargs into `self.config` and forward them to `model.alloc(**config)` (ref
+static:36-45) — a typo'd or unsupported key (e.g. `tensor_paralel`, or
+`pipeline_parallel` on an engine that can't stage) loads an engine that quietly
+ignores the user's intent. Here it raises with the engine name.
+"""
 from __future__ import annotations
 
 from .dynamic_engine import DynamicEngine
 from .static_engine import StaticEngine
+
+# Keys consumed by the app layer (chatbot/gradio/api pop these before from_config;
+# accepted here so a full documented-schema config can be passed straight through).
+_APP_KEYS = frozenset({"template", "generation_length", "max_turns"})
+
+# Keys consumed by AutoModelLM.from_pretrained / the engines' model setup.
+_MODEL_KEYS = frozenset({"offload", "exit_layer", "num_cache_layers",
+                         "quantize_draft"})
+
+# Keys popped by SpecEngineBase.__init__ (plus dtype, a named ctor param).
+_COMMON_KEYS = frozenset({
+    "max_length", "stop_distance", "safe_buffer", "temperature", "topp",
+    "repetition_penalty", "topk", "tokenizer", "eos_token_ids", "seed",
+    "kv_dtype", "draft_topk_recall", "dtype",
+})
+
+_ENGINE_CONFIG_KEYS = {
+    "static": _COMMON_KEYS | _MODEL_KEYS | _APP_KEYS | {
+        "growmap_path", "growmap", "tensor_parallel", "pipeline_parallel"},
+    "dynamic": _COMMON_KEYS | _MODEL_KEYS | _APP_KEYS | {
+        "width", "num_beams", "depth", "tensor_parallel", "pipeline_parallel"},
+    # batched: no offload (resident models only), no pipeline_parallel (both are
+    # ALSO rejected loudly by BatchedStaticEngine.__init__ — listed here so the
+    # error names them as unsupported-for-this-engine rather than unknown)
+    "batched_static": (_COMMON_KEYS - {"stop_distance"}) | _APP_KEYS | {
+        "growmap_path", "growmap", "batch_size", "segment_steps",
+        "tensor_parallel", "pipeline_parallel", "offload", "exit_layer",
+        "num_cache_layers", "quantize_draft"},
+}
 
 
 class AutoEngine:
@@ -32,6 +69,12 @@ class AutoEngine:
         target_model_name = kwargs.pop("model", None)
         assert draft_model_name is not None
         assert target_model_name is not None
+        unknown = sorted(set(kwargs) - _ENGINE_CONFIG_KEYS[engine_name])
+        if unknown:
+            raise ValueError(
+                f"config key(s) {unknown} are not consumed by engine "
+                f"'{engine_name}' (allowed: "
+                f"{sorted(_ENGINE_CONFIG_KEYS[engine_name])})")
         return engine_class(
             draft_model_name=draft_model_name, target_model_name=target_model_name,
             device=device, **kwargs)

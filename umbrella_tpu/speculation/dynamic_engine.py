@@ -107,36 +107,34 @@ class DynamicEngine(SpecEngineBase):
                     pos = num_nodes + step + jnp.zeros((dec_len,), jnp.int32)
                     mask = tree_level_mask_rows(num_nodes, bitmap, lvl_start, dec_len, L)
                     logits, kv_d = d_fwd(pd, kv_d, ids, pos, mask, num_nodes + lvl_start)
-                if step < D:
-                    from ..ops.select import onehot, take_vec
+                from ..ops.sampling import draft_topk
+                from ..ops.select import onehot, take_vec
 
-                    from ..ops.sampling import draft_topk
+                top_vals, top_idx = draft_topk(logits, B, recall)  # [dec_len, B]
+                step_scores = jnp.log(jax.nn.softmax(top_vals, axis=-1) + 1e-4)
+                hist = jax.lax.dynamic_slice(tree_score, (lvl_start,), (dec_len,))
+                cand = (hist[:, None] + step_scores).reshape(-1)
+                sel_score, sel = jax.lax.top_k(cand, W)
+                new_tokens = take_vec(top_idx.reshape(-1), sel).astype(jnp.int32)
+                parent_global = (lvl_start + sel // B).astype(jnp.int32)
 
-                    top_vals, top_idx = draft_topk(logits, B, recall)  # [dec_len, B]
-                    step_scores = jnp.log(jax.nn.softmax(top_vals, axis=-1) + 1e-4)
-                    hist = jax.lax.dynamic_slice(tree_score, (lvl_start,), (dec_len,))
-                    cand = (hist[:, None] + step_scores).reshape(-1)
-                    sel_score, sel = jax.lax.top_k(cand, W)
-                    new_tokens = take_vec(top_idx.reshape(-1), sel).astype(jnp.int32)
-                    parent_global = (lvl_start + sel // B).astype(jnp.int32)
-
-                    new_start = lvl_start + dec_len
-                    tokens = jax.lax.dynamic_update_slice(
-                        tokens, new_tokens, (num_nodes + new_start,))
-                    tree_score = jax.lax.dynamic_update_slice(
-                        tree_score, sel_score, (new_start,))
-                    parents = jax.lax.dynamic_update_slice(
-                        parents, parent_global, (new_start,))
-                    self_rows_iota = jax.lax.broadcasted_iota(jnp.int32, (W, tree_size), 1)
-                    self_rows = self_rows_iota == (
-                        new_start + jax.lax.iota(jnp.int32, W))[:, None]
-                    parent_rows = jnp.dot(
-                        onehot(parent_global, tree_size, jnp.float32),
-                        bitmap.astype(jnp.float32),
-                        preferred_element_type=jnp.float32) > 0.5
-                    new_rows = parent_rows | self_rows
-                    bitmap = jax.lax.dynamic_update_slice(bitmap, new_rows, (new_start, 0))
-                    lvl_start = new_start
+                new_start = lvl_start + dec_len
+                tokens = jax.lax.dynamic_update_slice(
+                    tokens, new_tokens, (num_nodes + new_start,))
+                tree_score = jax.lax.dynamic_update_slice(
+                    tree_score, sel_score, (new_start,))
+                parents = jax.lax.dynamic_update_slice(
+                    parents, parent_global, (new_start,))
+                self_rows_iota = jax.lax.broadcasted_iota(jnp.int32, (W, tree_size), 1)
+                self_rows = self_rows_iota == (
+                    new_start + jax.lax.iota(jnp.int32, W))[:, None]
+                parent_rows = jnp.dot(
+                    onehot(parent_global, tree_size, jnp.float32),
+                    bitmap.astype(jnp.float32),
+                    preferred_element_type=jnp.float32) > 0.5
+                new_rows = parent_rows | self_rows
+                bitmap = jax.lax.dynamic_update_slice(bitmap, new_rows, (new_start, 0))
+                lvl_start = new_start
             return tokens, kv_d, bitmap, parents
 
         self._build_tree_jit = jax.jit(build_tree_fn, donate_argnums=(1, 2))

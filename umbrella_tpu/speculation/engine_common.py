@@ -96,9 +96,18 @@ class SpecEngineBase(BaseEngine):
             assert not self.config.get("offload", False), (
                 "pipeline_parallel and offload are mutually exclusive: PP shards "
                 "resident layer blocks over the mesh")
-            devices = jax.devices()
+            from ..parallel.distributed import order_by_process
+
+            # Stage hops are ppermute's — keep them on ICI: group devices by
+            # process (host) and require the whole pipe to fit one host, instead
+            # of letting a stage boundary silently straddle hosts over DCN.
+            devices = order_by_process(jax.devices())
             assert len(devices) >= pp, f"need {pp} devices, have {len(devices)}"
-            self.mesh = Mesh(np.asarray(devices[:pp]), ("pipe",))
+            devices = devices[:pp]
+            assert len({getattr(d, "process_index", 0) for d in devices}) == 1, (
+                "pipeline_parallel stages must live on one host (ppermute rides "
+                "ICI); use tensor_parallel + data-parallel hosts for multi-host")
+            self.mesh = Mesh(np.asarray(devices), ("pipe",))
         self.draft_model = self._load_model(self.draft_model_name, offload=False)
         if self.config.get("quantize_draft", False):
             # W4-quantize an fp draft in process (TPU extension; the draft re-reads
