@@ -40,6 +40,7 @@ def main():
     from umbrella_tpu.sequoia import growmap_from_spec
     from umbrella_tpu.serving.batched_engine import (BatchedStaticEngine,
                                                      ContinuousBatcher)
+    from umbrella_tpu.serving.scheduler import make_scheduler
 
     max_len = 2048
     target_cfg = ModelConfig(
@@ -67,8 +68,12 @@ def main():
     eng.run([dict(input_ids=rng.integers(0, 120000, size=100).astype(np.int32)
                   .tolist(), max_new_tokens=16) for _ in range(args.batch)])
 
+    # requests route through the Scheduler (priority queue + metrics) in front
+    # of the batcher — the full serving composition (api/server "scheduler" key)
     batcher = ContinuousBatcher(eng)
     batcher.start()
+    sched = make_scheduler(batcher=batcher)
+    sched.start()
     lat, sizes = [], []
     t0 = time.time()
     futs = []
@@ -76,7 +81,8 @@ def main():
         n_prompt = int(rng.integers(32, 256))
         n_new = int(rng.integers(args.max_new // 2, args.max_new))
         ts = time.time()
-        fut = batcher.submit(
+        fut = sched.submit(
+            priority=int(rng.integers(0, 3)),
             input_ids=rng.integers(0, 120000, size=n_prompt).astype(np.int32)
             .tolist(), max_new_tokens=n_new)
         futs.append((fut, ts, n_new))
@@ -87,6 +93,8 @@ def main():
         lat.append(time.time() - ts)
         total_tokens += len(out["generated_tokens"])
     wall = time.time() - t0
+    sched_metrics = dict(sched.metrics)
+    sched.shutdown(wait=False)
     batcher.shutdown()
 
     lat_ms = np.sort(np.asarray(lat) * 1000)
@@ -103,6 +111,9 @@ def main():
             "latency_p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
             "latency_p90_ms": round(float(np.percentile(lat_ms, 90)), 1),
             "latency_p99_ms": round(float(np.percentile(lat_ms, 99)), 1),
+            "scheduler_queue_seconds_total": round(sched_metrics["queue_seconds"], 2),
+            "scheduler_queue_s_mean": round(
+                sched_metrics["queue_seconds"] / max(sched_metrics["requests"], 1), 3),
             "note": "random weights => acceptance floor; throughput is a lower bound",
         },
     }

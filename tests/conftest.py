@@ -56,3 +56,8 @@ def tiny_cfg():
         tie_word_embeddings=False,
         eos_token_id=2,
     )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running (spawns subprocesses); deselect with -m 'not slow'")

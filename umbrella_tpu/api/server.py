@@ -10,6 +10,13 @@ Beyond the reference: `"engine": "batched_static"` in the config (or an injected
 admitted into the multi-slot engine's free slots and decode TOGETHER in one compiled
 step (serving/batched_engine.py); responses return per-request as slots finish. The
 reference cannot do this (its KV cache has no batch dim, ref `attn/cache.py:18-34`).
+
+A `"scheduler": {...}` config key (or an injected `scheduler`) routes requests
+through serving/scheduler.Scheduler instead: a priority queue in front of the
+backend — single engine or ContinuousBatcher (B admission workers) — with
+per-request `"priority"` (lower = sooner) and queue/busy metrics, readable by a
+client via `{"get_metrics": true}`. The scheduling layer the reference lacks
+(SURVEY.md §1: one mutex-guarded worker, ref `server.py:43-55`).
 """
 from __future__ import annotations
 
@@ -27,7 +34,7 @@ logger = setup_logger()
 class APIServer:
     def __init__(self, config: dict, device=None, port: int = 65432,
                  max_client: int = 4, host: str = "127.0.0.1", engine=None,
-                 batcher=None):
+                 batcher=None, scheduler=None):
         self.port = port
         self.max_client = max_client
         self.host = host
@@ -35,6 +42,7 @@ class APIServer:
         self.config = config
         self.engine = engine  # injectable for tests
         self.batcher = batcher  # injectable: ContinuousBatcher => concurrent serving
+        self.scheduler = scheduler  # injectable: Scheduler => priority queue
 
     def handle_client(self, conn, addr):
         logger.info(TextColors.colorize(f"Connection from {addr}", "cyan"))
@@ -48,7 +56,18 @@ class APIServer:
                         f"Received dictionary from {addr}", "cyan"))
                     if received.get("terminate", False):
                         break
-                    if self.batcher is not None:
+                    if self.scheduler is not None:
+                        if received.get("get_metrics", False):
+                            with send_lock:
+                                send_data(conn, dict(self.scheduler.metrics,
+                                                     processed=True))
+                            continue
+                        priority = int(received.pop("priority", 10))
+                        fut = self.scheduler.submit(priority=priority, **received)
+                        fut.add_done_callback(
+                            lambda f, c=conn, a=addr, lk=send_lock:
+                            self._send_result(c, a, lk, f))
+                    elif self.batcher is not None:
                         fut = self.batcher.submit(**received)
                         fut.add_done_callback(
                             lambda f, c=conn, a=addr, lk=send_lock:
@@ -90,9 +109,11 @@ class APIServer:
 
     def start(self):
         """Initialize engine + listener and spawn worker threads (non-blocking)."""
-        if self.engine is None and self.batcher is None:
-            batched = self.config.get("engine") == "batched_static"
-            engine = AutoEngine.from_config(self.device, **self.config)
+        sched_cfg = self.config.get("scheduler")
+        if self.engine is None and self.batcher is None and self.scheduler is None:
+            config = {k: v for k, v in self.config.items() if k != "scheduler"}
+            batched = config.get("engine") == "batched_static"
+            engine = AutoEngine.from_config(self.device, **config)
             engine.initialize()
             if batched:
                 from ..serving.batched_engine import ContinuousBatcher
@@ -100,8 +121,17 @@ class APIServer:
                 self.batcher = ContinuousBatcher(engine)
             else:
                 self.engine = engine
+        if sched_cfg and self.scheduler is None:
+            from ..serving.scheduler import make_scheduler
+
+            workers = sched_cfg.get("workers") if isinstance(sched_cfg, dict) else None
+            self.scheduler = make_scheduler(
+                engine=self.engine, batcher=self.batcher, workers=workers)
+            self.engine = None  # requests route through the scheduler only
         if self.batcher is not None and getattr(self.batcher, "_thread", None) is None:
             self.batcher.start()
+        if self.scheduler is not None and not self.scheduler._workers:
+            self.scheduler.start()
         self.server_socket = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self.server_socket.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.server_socket.bind((self.host, self.port))
@@ -111,7 +141,7 @@ class APIServer:
         logger.info(TextColors.colorize("umbrella_tpu LLM server started", "cyan"))
         self.message_queue = Queue()
         self.queue_lock = threading.Lock()
-        if self.batcher is None:
+        if self.batcher is None and self.scheduler is None:
             threading.Thread(target=self.process_queue, daemon=True).start()
         self._accept_thread = threading.Thread(target=self._accept_loop, daemon=True)
         self._accept_thread.start()
@@ -132,6 +162,8 @@ class APIServer:
 
     def shutdown(self):
         try:
+            if self.scheduler is not None:
+                self.scheduler.shutdown(wait=False)
             if self.batcher is not None:
                 self.batcher.shutdown()
             self.message_queue.put((None, None, None))

@@ -95,3 +95,35 @@ class Scheduler:
         if wait:
             for t in self._workers:
                 t.join(timeout=5)
+
+
+class BatcherBackend:
+    """Adapts a ContinuousBatcher to the Scheduler's engine interface: `generate`
+    submits into the batcher and blocks until the slot finishes. Pass the SAME
+    backend `batch_size` times to Scheduler(engines=...) — each worker thread
+    then holds one in-flight request, so up to B requests decode together in the
+    batcher while the priority queue orders ADMISSION (priorities apply at the
+    queue; slots already decoding are not preempted)."""
+
+    def __init__(self, batcher):
+        self.batcher = batcher
+
+    def generate(self, **request):
+        return self.batcher.submit(**request).result()
+
+    def generate_stream(self, **request):  # pragma: no cover - no partial yields
+        yield None, None  # batcher has no streaming; final result below
+        result = self.generate(**request)
+        yield result.get("generated_text", ""), ""
+
+
+def make_scheduler(engine=None, batcher=None, workers: Optional[int] = None
+                   ) -> Scheduler:
+    """Scheduler over a single engine OR a ContinuousBatcher (B admission
+    workers). The serving-layer composition VERDICT-r2 asked for: priorities and
+    queue metrics in front of either backend."""
+    if batcher is not None:
+        n = workers or getattr(batcher.engine, "batch_size", 4)
+        return Scheduler([BatcherBackend(batcher)] * n)
+    assert engine is not None
+    return Scheduler([engine] * (workers or 1))
