@@ -155,9 +155,13 @@ def measure():
             "fits_hbm": bool(w4_total / tp < 14e9),
         }
 
-    # tok/s projection: step = verify + draft build (measured 500M-W4 draft
-    # build ~8 ms in BENCH_r01; 1B draft ~ similar order) at reference-class
-    # acceptance (the reference's 70B rows embed ~4-6 accepted tokens/step)
+    # tok/s projection: step = verify + draft build. draft_ms=8 matches the
+    # MEASURED 8B-class W4 draft build on this chip (7.7 ms round 2 — the
+    # flagship 70B config drafts with an 8B-AWQ model, reference README:43-54;
+    # a replicated draft does not shrink with TP, so the build cost is additive
+    # and NOT overlapped here — the projection is conservative in that verify
+    # collectives could overlap the next tree's early levels, and optimistic
+    # only in assuming reference-class acceptance (~4-6 accepted/step).
     draft_ms = 8.0
     # PP=4 capacity tier (parallel/pipeline.py): weights fit 4 chips with ZERO
     # per-matmul collectives — at B=1 the verify latency is the full-model

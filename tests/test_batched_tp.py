@@ -124,6 +124,28 @@ def test_tp_batched_config_end_to_end(tmp_path):
     assert toks_tp == toks_ref and len(toks_ref) >= 3
 
 
+def test_tp_batched_int8_kv_matches_unsharded_int8():
+    """TP x int8-KV composition: per-slot scales shard with their kv heads."""
+    def _drive_int8(tp):
+        eng = BatchedStaticEngine(
+            draft_model_name=_runtime(1), target_model_name=_runtime(0),
+            batch_size=2, dtype=jnp.float32, growmap_path=TREE,
+            max_length=MAX_LEN, eos_token_ids=[-1], tokenizer=object(),
+            safe_buffer=16, kv_dtype="int8", tensor_parallel=tp)
+        eng.initialize()
+        assert eng.admit(0, [1, 9, 23, 7])
+        start = int(eng.num_nodes[0])
+        for _ in range(3):
+            eng.step()
+        return eng, eng.tokens_host[0, start: int(eng.num_nodes[0])].tolist()
+
+    eng_tp, toks_tp = _drive_int8(2)
+    assert eng_tp.kv_target.quantized
+    assert eng_tp.kv_target.k_scale.sharding.spec[2] == "model"
+    _, toks_ref = _drive_int8(0)
+    assert toks_tp == toks_ref and len(toks_ref) >= 3
+
+
 def test_batched_rejects_pipeline_parallel_and_offload():
     with pytest.raises(ValueError, match="pipeline_parallel"):
         BatchedStaticEngine(

@@ -6,6 +6,8 @@ reference lacks, ref `umbrella/api/server.py:43-55`)."""
 import threading
 import time
 
+import pytest
+
 import jax.numpy as jnp
 
 from umbrella_tpu.api.client import APIClient
@@ -68,6 +70,29 @@ def test_priority_ordering_and_metrics_over_socket():
         assert m["busy_seconds"] > 0.5
     finally:
         server.shutdown()
+
+
+def test_deadline_expired_requests_are_dropped():
+    """A request that waits past its deadline_s never executes; its future gets
+    DeadlineExpired and the expired metric increments."""
+    from umbrella_tpu.serving.scheduler import DeadlineExpired
+
+    stub = _SlowStubEngine()
+    sched = Scheduler([stub])
+    sched.start()
+    try:
+        blocker = sched.submit(tag="blocker", sleep=0.5)
+        time.sleep(0.1)  # blocker running
+        doomed = sched.submit(tag="doomed", sleep=0.01, deadline_s=0.1)
+        ok = sched.submit(tag="ok", sleep=0.01, deadline_s=30.0)
+        blocker.result(timeout=10)
+        with pytest.raises(DeadlineExpired):
+            doomed.result(timeout=10)
+        assert ok.result(timeout=10)["generated_text"] == "ok"
+        assert "doomed" not in stub.order
+        assert sched.metrics["expired"] == 1
+    finally:
+        sched.shutdown(wait=False)
 
 
 def test_scheduler_config_key_with_real_engine():

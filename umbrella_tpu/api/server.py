@@ -83,8 +83,14 @@ class APIServer:
             logger.info(TextColors.colorize(f"Connection with {addr} closed", "cyan"))
 
     def _send_result(self, conn, addr, send_lock, fut):
-        processed = {**fut.result(), "processed": True,
-                     "response": "Processed successfully"}
+        try:
+            result = fut.result()
+            processed = {**result, "processed": True,
+                         "response": "Processed successfully"}
+        except Exception as e:  # e.g. scheduler DeadlineExpired
+            processed = {"processed": False, "error": f"{type(e).__name__}: {e}",
+                         "generated_text": "", "generated_tokens": [],
+                         "avg_accept_tokens": 0, "time_per_output_token": 0}
         try:
             with send_lock:
                 send_data(conn, processed)

@@ -31,6 +31,11 @@ class _QueuedRequest:
     future: Future = field(compare=False)
     stream_cb: Optional[Callable] = field(compare=False, default=None)
     submitted_at: float = field(compare=False, default=0.0)
+    deadline_s: Optional[float] = field(compare=False, default=None)
+
+
+class DeadlineExpired(Exception):
+    """Request spent longer than its deadline_s in the queue; never executed."""
 
 
 class Scheduler:
@@ -55,11 +60,14 @@ class Scheduler:
             self._workers.append(t)
 
     def submit(self, priority: int = 10, stream_cb: Optional[Callable] = None,
-               **request) -> Future:
+               deadline_s: Optional[float] = None, **request) -> Future:
+        """deadline_s: max seconds the request may WAIT in the queue; expired
+        requests are dropped (future gets DeadlineExpired) instead of wasting
+        engine time on an answer the client has abandoned."""
         fut: Future = Future()
         self._q.put(_QueuedRequest(
             priority=priority, seq=next(self._seq), request=request, future=fut,
-            stream_cb=stream_cb, submitted_at=time.time()))
+            stream_cb=stream_cb, submitted_at=time.time(), deadline_s=deadline_s))
         return fut
 
     def _worker(self, engine):
@@ -69,6 +77,13 @@ class Scheduler:
             except queue.Empty:
                 continue
             wait = time.time() - item.submitted_at
+            if item.deadline_s is not None and wait > item.deadline_s:
+                item.future.set_exception(DeadlineExpired(
+                    f"queued {wait:.2f}s > deadline {item.deadline_s:.2f}s"))
+                with self._metrics_lock:
+                    self.metrics["expired"] = self.metrics.get("expired", 0) + 1
+                    self.metrics["queue_seconds"] += wait
+                continue
             t0 = time.time()
             try:
                 if item.stream_cb is not None:

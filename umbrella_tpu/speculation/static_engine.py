@@ -101,6 +101,21 @@ class StaticEngine(SpecEngineBase):
 
         recall = self.draft_topk_recall
 
+        # BUILD-PHASE COST MODEL (v5e, 2026-08, slope-measured at the 8B bench
+        # config: 12-layer 500M-shape W4 draft, 24x6 tree, L=2048). Full build
+        # = 7.58 ms. Decomposition: draft_topk over [n,128k] + per-level mask
+        # rows + expansion gathers/writes together measure AT NOISE (<=0.03 ms
+        # — the round-2 "~2 ms unexplained misc" was floor-accounting error,
+        # not hidden work). The build is 5 sequential level forwards, each
+        # ~1.2 ms and S-INDEPENDENT (S=2..24 all pad to one MXU tile), each
+        # decomposing as 12 layers x ~80 us + 254 us W4 lm_head, where a layer
+        # is a DEPENDENCY CHAIN of 4 W4A16 kernel calls (qkv->attn->wo,
+        # gate_up->down; 40 us chained vs ~8-10 us per isolated call), the
+        # flash-attention call (22 us), and rope/KV-write/norms (~18 us). So
+        # the phase is kernel-LATENCY bound on a serial chain — not HBM, not
+        # sampling logic: cutting it requires fewer levels (tree shape), fewer
+        # layers (draft choice), or fusing the per-layer matmul chain into one
+        # kernel; nothing host- or glue-side is left to shave.
         # Deferred-leaf build: the LAST level's forward exists only to write draft
         # KV for its 24-odd leaves, of which at most ONE (the accepted leaf) is
         # ever read — and only on the NEXT step. So the leaf forward is dropped
