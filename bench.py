@@ -286,18 +286,26 @@ def main():
         dyn_detail = {"dynamic_error": f"{type(e).__name__}: {e}"[:200]}
 
     # ---- secondary: REAL-acceptance continuous batching at 8B-AWQ -----------
-    # 4 slots of the PRIMARY composition (8B-AWQ damped target + early-exit W4
+    # Slots of the PRIMARY composition (8B-AWQ damped target + early-exit W4
     # draft): aggregate serving throughput at real multi-token acceptance — the
     # north-star flagship model class under continuous batching, which the
     # reference cannot express at all (one-request-at-a-time GPU).
+    # TREE SIZING RULE (swept on v5e 2026-08): batched verify is MXU-flat only
+    # while B x tree_size <~ 128 tokens, so batch-1's best tree (127-node 24x6,
+    # 218 tok/s single) SATURATES the chip — B=4 x 24x6 = 216 aggregate (no
+    # gain). Small per-slot trees restore the win: B=4 x 5x6 = 366, B=8 x 5x6
+    # = 496, B=8 x 3x4 = 597 tok/s aggregate (accept 4.07/4.19/3.34).
     b8_detail = {}
+    B8 = 8
     try:
         from umbrella_tpu.serving.batched_engine import BatchedStaticEngine
 
-        B8 = 4
+        del target, draft  # free the 1B models: B=8 x 8B KV needs the HBM
+        gc.collect()
+        gm_b8 = growmap_from_spec(3, 4)
         beng8 = BatchedStaticEngine(
             draft_model_name=draft_ee, target_model_name=target8, batch_size=B8,
-            dtype=dtype, growmap=gm_awq, max_length=max_len,
+            dtype=dtype, growmap=gm_b8, max_length=max_len,
             eos_token_ids=[-100], segment_steps=8)
         beng8.initialize()
         reqs8 = [dict(input_ids=rng.integers(0, 120000, size=128).astype(
@@ -309,15 +317,16 @@ def main():
         total8 = sum(len(o["generated_tokens"]) for o in outs8)
         acc8 = [o["avg_accept_tokens"] for o in outs8 if o["generated_tokens"]]
         b8_detail = {
-            "awq8b_batched4_tokens_per_sec": round(total8 / dtb8, 2),
-            "awq8b_batched4_avg_accept": round(float(np.mean(acc8)), 2),
-            "awq8b_batched4_setup": f"{B8} slots of the primary setup "
-                                    f"(real acceptance), {2*B8} requests",
+            f"awq8b_batched{B8}_tokens_per_sec": round(total8 / dtb8, 2),
+            f"awq8b_batched{B8}_avg_accept": round(float(np.mean(acc8)), 2),
+            f"awq8b_batched{B8}_setup": f"{B8} slots of the primary 8B-AWQ + "
+                                        f"early-exit-draft setup (real "
+                                        f"acceptance), 3x4 tree, {2*B8} requests",
         }
         del beng8
         gc.collect()
     except Exception as e:
-        b8_detail = {"awq8b_batched4_error": f"{type(e).__name__}: {e}"[:200]}
+        b8_detail = {f"awq8b_batched{B8}_error": f"{type(e).__name__}: {e}"[:200]}
 
     # ---- secondary: 70B-AWQ-shape per-layer slope + TP/PP/offload projection -
     # The north-star workload (reference README 70B rows, L40 = 37 tok/s). One
