@@ -81,8 +81,10 @@ def main():
         n_prompt = int(rng.integers(32, 256))
         n_new = int(rng.integers(args.max_new // 2, args.max_new))
         ts = time.time()
+        # uniform priority: the latency headline must not embed deliberate
+        # priority inversions (class ordering is covered by test_server_scheduler)
         fut = sched.submit(
-            priority=int(rng.integers(0, 3)),
+            priority=1,
             input_ids=rng.integers(0, 120000, size=n_prompt).astype(np.int32)
             .tolist(), max_new_tokens=n_new)
         futs.append((fut, ts, n_new))

@@ -161,7 +161,8 @@ def test_scheduler_over_batcher_concurrent_slots():
     batcher = ContinuousBatcher(beng)
     batcher.start()
     sched = make_scheduler(batcher=batcher)
-    assert len(sched.engines) == 2 and isinstance(sched.engines[0], BatcherBackend)
+    # batch_size + 2 lookahead workers (see make_scheduler)
+    assert len(sched.engines) == 4 and isinstance(sched.engines[0], BatcherBackend)
     sched.start()
     try:
         futs = [sched.submit(priority=i, input_ids=list(p), max_new_tokens=8)

