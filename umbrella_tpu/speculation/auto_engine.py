@@ -12,9 +12,10 @@ from __future__ import annotations
 from .dynamic_engine import DynamicEngine
 from .static_engine import StaticEngine
 
-# Keys consumed by the app layer (chatbot/gradio/api pop these before from_config;
-# accepted here so a full documented-schema config can be passed straight through).
-_APP_KEYS = frozenset({"template", "generation_length", "max_turns"})
+# Keys consumed by the app/server layer (chatbot/gradio/api pop template etc.
+# before from_config; APIServer strips "scheduler" — accepted here so a full
+# documented-schema config can be passed straight through).
+_APP_KEYS = frozenset({"template", "generation_length", "max_turns", "scheduler"})
 
 # Keys consumed by AutoModelLM.from_pretrained / the engines' model setup.
 _MODEL_KEYS = frozenset({"offload", "exit_layer", "num_cache_layers",
