@@ -116,6 +116,24 @@ def main():
                  "shared-W4-weight draft, greedy",
         "vs_ref_8b_fp16_mtbench_100.7": round(toks_per_sec / baseline_fp16, 3),
     }
+
+    # stochastic row (the reference reports stochastic AND greedy for every
+    # config). The compact top-k-domain sampler (ops/sampling) keeps the
+    # stochastic premium at ~1 ms/step — the previous full-vocab chain cost
+    # +26 ms/step at this shape (51.5 vs 25.4 ms, v5e 2026-08). Acceptance is
+    # lower than greedy only because random-weight distributions are flat;
+    # trained-model stochastic acceptance sits near greedy (reference rows).
+    eng.update_generation_args(temperature=0.6, topp=0.9)
+    eng.reset()
+    assert eng._prefill(prompt)
+    eng._decode_fused(8)  # compile the stochastic verify
+    dec_s, dt_s, steps_s = _time_decode(eng, jax, prompt, 256)
+    result_detail.update({
+        "stochastic_tokens_per_sec": round(dec_s / dt_s, 2),
+        "stochastic_decode_step_ms": round(1000 * dt_s / steps_s, 2),
+        "stochastic_avg_accept": round(dec_s / steps_s, 2),
+        "stochastic_setup": "T=0.6 topp=0.9 topk=32, same models/tree",
+    })
     del eng
     import gc
 

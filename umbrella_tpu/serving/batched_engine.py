@@ -307,15 +307,14 @@ class BatchedStaticEngine:
             if all_greedy:
                 sampled = greedy_tok
             else:
-                temp = jnp.maximum(temperature_vec, 1e-3)[:, None, None]
-                filt = S.apply_topk_mask(logits, topk)
-                probs = jax.nn.softmax(filt / temp, axis=-1)
-                # <=topk nonzeros per row after the filter -> top-k based renorm
-                # is exact and avoids a full-vocab sort per slot
-                probs = S.top_p_renorm_after_topk(
-                    probs, topp_vec[:, None, None], topk)
-                stoch_tok = jax.random.categorical(
-                    key, jnp.log(probs + 1e-20), axis=-1).astype(jnp.int32)
+                # compact top-k-domain sampler (ops/sampling): one [B*T, V]
+                # top_k, then k-wide softmax/nucleus/Gumbel — no full-vocab
+                # softmax or second top_k (those cost ~26 ms/step at 8B)
+                t_rows = jnp.repeat(jnp.maximum(temperature_vec, 1e-3), T)
+                p_rows = jnp.repeat(topp_vec, T)
+                stoch_tok = S.sample_top_k_top_p_rows(
+                    key, logits.reshape(B * T, -1), t_rows, topk, p_rows
+                ).reshape(B, T)
                 greedy_mask = (temperature_vec < 0.05)[:, None]
                 sampled = jnp.where(greedy_mask, greedy_tok, stoch_tok)
 
