@@ -128,6 +128,67 @@ def test_scheduler_config_key_with_real_engine():
         server.shutdown()
 
 
+def test_empty_scheduler_config_enables_scheduler():
+    """The shipped config's `\"scheduler\": {}` must build the scheduler (an
+    empty dict is falsy — `if sched_cfg:` silently disabled the feature)."""
+    stub = _SlowStubEngine()
+    server = APIServer(config={"scheduler": {}}, port=0, engine=stub)
+    server.start()
+    try:
+        assert server.scheduler is not None
+        c = APIClient(port=server.port, retry_seconds=0.2)
+        c.run()
+        out = c.get_output(tag="x", sleep=0.01, priority=1)
+        assert out["generated_text"] == "x"
+        m = c.get_output(get_metrics=True)
+        assert m["requests"] == 1 and m["expired"] == 0  # key present from init
+        c.close()
+    finally:
+        server.shutdown()
+
+
+def test_single_engine_multi_worker_rejected():
+    """N workers on ONE engine would run concurrent generate() on shared
+    mutable state — make_scheduler must refuse (DP needs distinct engines)."""
+    with pytest.raises(ValueError, match="distinct engines"):
+        make_scheduler(engine=_SlowStubEngine(), workers=4)
+
+
+def test_batcher_stream_yields_text_and_result_dict():
+    """BatcherBackend.generate_stream must not yield a (None, None) first chunk,
+    and the worker's final result keeps generated_tokens for metrics."""
+    from test_api_server import _FakeTokenizer
+    from test_static_engine import MAX_LEN, _cfg
+
+    from umbrella_tpu.models.auto_model import random_runtime
+    from umbrella_tpu.sequoia import growmap_from_spec
+    from umbrella_tpu.serving.batched_engine import (BatchedStaticEngine,
+                                                     ContinuousBatcher)
+
+    beng = BatchedStaticEngine(
+        draft_model_name=random_runtime(_cfg(), MAX_LEN, seed=1),
+        target_model_name=random_runtime(_cfg(), MAX_LEN, seed=0), batch_size=2,
+        dtype=jnp.float32, growmap=growmap_from_spec(3, 4), max_length=MAX_LEN,
+        safe_buffer=32, eos_token_ids=[-1], tokenizer=_FakeTokenizer())
+    beng.initialize()
+    batcher = ContinuousBatcher(beng)
+    batcher.start()
+    sched = make_scheduler(batcher=batcher)
+    sched.start()
+    try:
+        chunks = []
+        fut = sched.submit(stream_cb=lambda t, p: chunks.append((t, p)),
+                           input_ids=[1, 5, 9], max_new_tokens=8)
+        result = fut.result(timeout=120)
+        assert chunks and chunks[0][0] is not None  # no (None, None) first yield
+        assert isinstance(chunks[-1][1], dict)
+        assert len(result["generated_tokens"]) >= 8
+        assert sched.metrics["tokens"] >= 8  # stream path keeps token metrics
+    finally:
+        sched.shutdown(wait=False)
+        batcher.shutdown()
+
+
 def test_scheduler_over_batcher_concurrent_slots():
     """make_scheduler(batcher=...) admits up to batch_size requests concurrently
     (B workers) while ordering admission by priority; results match the

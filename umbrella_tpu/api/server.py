@@ -127,7 +127,7 @@ class APIServer:
                 self.batcher = ContinuousBatcher(engine)
             else:
                 self.engine = engine
-        if sched_cfg and self.scheduler is None:
+        if sched_cfg is not None and self.scheduler is None:
             from ..serving.scheduler import make_scheduler
 
             workers = sched_cfg.get("workers") if isinstance(sched_cfg, dict) else None

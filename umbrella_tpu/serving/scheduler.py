@@ -49,7 +49,8 @@ class Scheduler:
         self._workers = []
         self._stop = threading.Event()
         self.metrics: Dict[str, float] = {
-            "requests": 0, "tokens": 0, "busy_seconds": 0.0, "queue_seconds": 0.0}
+            "requests": 0, "tokens": 0, "busy_seconds": 0.0,
+            "queue_seconds": 0.0, "expired": 0}
         self._metrics_lock = threading.Lock()
 
     def start(self):
@@ -78,32 +79,41 @@ class Scheduler:
                 continue
             wait = time.time() - item.submitted_at
             if item.deadline_s is not None and wait > item.deadline_s:
+                # expired requests count only in "expired" — adding their wait
+                # to queue_seconds would skew the per-EXECUTED-request mean
+                with self._metrics_lock:
+                    self.metrics["expired"] += 1
                 item.future.set_exception(DeadlineExpired(
                     f"queued {wait:.2f}s > deadline {item.deadline_s:.2f}s"))
-                with self._metrics_lock:
-                    self.metrics["expired"] = self.metrics.get("expired", 0) + 1
-                    self.metrics["queue_seconds"] += wait
                 continue
             t0 = time.time()
+            err = None
             try:
                 if item.stream_cb is not None:
                     partial = perf = None
                     for partial, perf in engine.generate_stream(**item.request):
                         item.stream_cb(partial, perf)
-                    result = {"generated_text": partial, "perf": perf}
+                    # a backend may yield its full result dict as the final perf
+                    result = perf if isinstance(perf, dict) \
+                        else {"generated_text": partial, "perf": perf}
                 else:
                     result = engine.generate(**item.request)
-                item.future.set_result(result)
                 ntok = len(result.get("generated_tokens", []) or [])
             except Exception as e:  # pragma: no cover
                 logger.exception("request failed")
-                item.future.set_exception(e)
+                err = e
                 ntok = 0
+            # metrics BEFORE resolving: set_result runs done-callbacks inline,
+            # so a client can read metrics right after receiving its response
             with self._metrics_lock:
                 self.metrics["requests"] += 1
                 self.metrics["tokens"] += ntok
                 self.metrics["busy_seconds"] += time.time() - t0
                 self.metrics["queue_seconds"] += wait
+            if err is None:
+                item.future.set_result(result)
+            else:
+                item.future.set_exception(err)
 
     def shutdown(self, wait: bool = True):
         self._stop.set()
@@ -126,10 +136,12 @@ class BatcherBackend:
     def generate(self, **request):
         return self.batcher.submit(**request).result()
 
-    def generate_stream(self, **request):  # pragma: no cover - no partial yields
-        yield None, None  # batcher has no streaming; final result below
+    def generate_stream(self, **request):
+        """One final yield (the batcher has no partial streaming): the full
+        result dict rides the perf slot so the Scheduler worker keeps
+        generated_tokens for its metrics."""
         result = self.generate(**request)
-        yield result.get("generated_text", ""), ""
+        yield result.get("generated_text", ""), result
 
 
 def make_scheduler(engine=None, batcher=None, workers: Optional[int] = None
@@ -147,4 +159,12 @@ def make_scheduler(engine=None, batcher=None, workers: Optional[int] = None
         n = workers or (getattr(batcher.engine, "batch_size", 4) + 2)
         return Scheduler([BatcherBackend(batcher)] * n)
     assert engine is not None
-    return Scheduler([engine] * (workers or 1))
+    if workers and workers > 1:
+        # a single-slot engine is NOT thread-safe (generate mutates tokens/KV
+        # state); N concurrent workers on one engine would interleave resets.
+        # Multi-engine data-parallel serving passes Scheduler([eng1, eng2, ...])
+        # with DISTINCT engines directly.
+        raise ValueError(
+            "workers > 1 on a single engine would run concurrent generate() "
+            "on shared state; pass distinct engines to Scheduler(...) for DP")
+    return Scheduler([engine])
