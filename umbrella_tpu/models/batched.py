@@ -145,7 +145,6 @@ def batched_llama_forward(
     B, S = input_ids.shape
     H, D = args.num_heads, args.head_dim
     KVH = args.num_kv_heads
-    G = H // KVH
     scale = 1.0 / (D ** 0.5)
     inv_freq, rope_scale = params["rope_inv_freq"], params["rope_scale"]
 
@@ -214,10 +213,8 @@ def slot_llama_forward(
     """Single-sequence forward for one slot of a batched cache (prefill path)."""
     S = input_ids.shape[0]
     H, D, KVH = args.num_heads, args.head_dim, args.num_kv_heads
-    G = H // KVH
     scale = 1.0 / (D ** 0.5)
     inv_freq, rope_scale = params["rope_inv_freq"], params["rope_scale"]
-    L = kv.k.shape[3]
 
     hidden = embed_lookup(params["embed"], input_ids, params["final_norm"].dtype)
 

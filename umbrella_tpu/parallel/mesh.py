@@ -153,8 +153,9 @@ def _check_awq_divisibility(layers: dict, m: int):
         for q in qs:
             if isinstance(q, AwqTensor):
                 assert q.scales.shape[-2] % m == 0, (
-                    f"row-parallel {k}: quant groups ({q.scales.shape[-2]}) must "
-                    f"divide the model axis ({m}) so shards hold whole groups")
+                    f"row-parallel {k}: quant-group count ({q.scales.shape[-2]}) "
+                    f"must be divisible by the model axis ({m}) so every shard "
+                    f"holds whole groups")
 
 
 def shard_runtime(runtime, mesh: Mesh, replicated: bool = False):

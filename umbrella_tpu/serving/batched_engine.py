@@ -467,7 +467,14 @@ class BatchedStaticEngine:
         while off < n:
             rem = n - off
             bucket = CH if rem > CH else next_bucket(rem, PREFILL_BUCKETS)
-            emit = rem <= CH
+            # never let a padded chunk extend past the cache end: dynamic
+            # slices would CLAMP the start index and silently corrupt
+            # already-committed tokens/KV (shrunk buckets just loop again)
+            while off + bucket > self.max_length and bucket > PREFILL_BUCKETS[0]:
+                bucket = PREFILL_BUCKETS[PREFILL_BUCKETS.index(bucket) - 1]
+            if off + bucket > self.max_length:
+                return False
+            emit = rem <= bucket
             prompt = np.zeros(bucket, np.int32)
             prompt[:min(rem, bucket)] = ids[off:off + min(rem, bucket)]
             fn = self._get_prefill(bucket, emit)
@@ -489,13 +496,16 @@ class BatchedStaticEngine:
         """One batched build+verify step over all slots. Returns per-slot
         (accept_len, committed_tokens_including_trailing) for active slots."""
         B, T = self.batch_size, self.tree_size
-        tv = np.full(B, self.temperature, np.float32) if temperature is None \
-            else np.asarray(temperature, np.float32)
-        pv = np.full(B, self.topp, np.float32) if topp is None \
-            else np.asarray(topp, np.float32)
-        rv = np.full(B, self.repetition_penalty, np.float32) if penalty is None \
-            else np.asarray(penalty, np.float32)
-        use_pen = bool(np.any(rv > 1.01))
+        def vec(v, default):  # scalars broadcast to [B]
+            x = np.asarray(default if v is None else v, np.float32)
+            return np.broadcast_to(x, (B,)).copy()
+
+        tv = vec(temperature, self.temperature)
+        pv = vec(topp, self.topp)
+        rv = vec(penalty, self.repetition_penalty)
+        # |p - 1|: penalties BELOW 1 (encourage repetition) are valid too —
+        # the reference's `> 1.01` gate silently dropped them (static:298)
+        use_pen = bool(np.any(np.abs(rv - 1.0) > 0.01))
         all_greedy = bool(np.all(tv < 0.05))
         self._key, sub = jax.random.split(self._key)
         fn = self._get_step(use_pen, all_greedy)
@@ -530,13 +540,16 @@ class BatchedStaticEngine:
         num_nodes/active/tokens_host wholesale. Returns per-slot step counts
         (steps where the slot was active) for accept-rate accounting."""
         B = self.batch_size
-        tv = np.full(B, self.temperature, np.float32) if temperature is None \
-            else np.asarray(temperature, np.float32)
-        pv = np.full(B, self.topp, np.float32) if topp is None \
-            else np.asarray(topp, np.float32)
-        rv = np.full(B, self.repetition_penalty, np.float32) if penalty is None \
-            else np.asarray(penalty, np.float32)
-        use_pen = bool(np.any(rv > 1.01))
+        def vec(v, default):  # scalars broadcast to [B]
+            x = np.asarray(default if v is None else v, np.float32)
+            return np.broadcast_to(x, (B,)).copy()
+
+        tv = vec(temperature, self.temperature)
+        pv = vec(topp, self.topp)
+        rv = vec(penalty, self.repetition_penalty)
+        # |p - 1|: penalties BELOW 1 (encourage repetition) are valid too —
+        # the reference's `> 1.01` gate silently dropped them (static:298)
+        use_pen = bool(np.any(np.abs(rv - 1.0) > 0.01))
         all_greedy = bool(np.all(tv < 0.05))
         self._key, sub = jax.random.split(self._key)
         fn = self._get_step_many(use_pen, all_greedy, int(n_steps))
@@ -563,13 +576,9 @@ class BatchedStaticEngine:
 
         Decodes in fused segments (`step_many`): the host only syncs at
         admission points, every `segment_steps` steps."""
-        B = self.batch_size
         seg = segment_steps or self.segment_steps
         queue = deque(enumerate(requests))
-        slot_req = {}          # slot -> (request index, request)
-        slot_start = {}        # slot -> committed length at admission
-        slot_steps = {}
-        stop_at = np.full(B, 1 << 30, np.int32)
+        st = _SlotTracker(self)
         results = [None] * len(requests)
         t0 = time.time()
         total_steps = 0
@@ -579,47 +588,16 @@ class BatchedStaticEngine:
                 if not queue:
                     break
                 idx, req = queue.popleft()
-                ids = req.get("input_ids")
-                if ids is None and self.tokenizer is not None:
-                    ids = self.tokenizer.encode(req["context"])
-                if not ids or not self.admit(b, ids):
-                    results[idx] = dict(
-                        generated_text="", generated_tokens=[],
-                        avg_accept_tokens=0, time_per_output_token=0)
-                    continue
-                slot_req[b] = (idx, req)
-                slot_start[b] = int(self.num_nodes[b])
-                slot_steps[b] = 0
-                stop_at[b] = slot_start[b] + int(req.get("max_new_tokens", 128))
+                if not st.try_admit(b, idx, req):
+                    results[idx] = dict(_EMPTY_RESULT)
 
         admit_from_queue()
         while any(self.active):
-            tv = np.full(B, self.temperature, np.float32)
-            pv = np.full(B, self.topp, np.float32)
-            rv = np.full(B, self.repetition_penalty, np.float32)
-            for b, (_, req) in slot_req.items():
-                tv[b] = req.get("temperature", self.temperature)
-                pv[b] = req.get("topp", self.topp)
-                rv[b] = req.get("repetition_penalty", self.repetition_penalty)
-            steps_seg = self.step_many(seg, stop_at, tv, pv, rv)
+            tv, pv, rv = st.sampling_vectors()
+            steps_seg = self.step_many(seg, st.stop_at, tv, pv, rv)
             total_steps += seg
-            for b in list(slot_req):
-                slot_steps[b] += int(steps_seg[b])
-                if self.active[b]:
-                    continue  # still decoding
-                idx, req = slot_req[b]
-                toks = self.tokens_host[
-                    b, slot_start[b]: int(self.num_nodes[b]) + 1].tolist()
-                text = (self.tokenizer.decode(
-                    toks, skip_special_tokens=True,
-                    clean_up_tokenization_spaces=False)
-                    if self.tokenizer else "")
-                results[idx] = dict(
-                    generated_text=text, generated_tokens=toks,
-                    avg_accept_tokens=len(toks) / max(slot_steps[b], 1),
-                    time_per_output_token=0.0)
-                self.release(b)
-                del slot_req[b], slot_start[b], slot_steps[b]
+            for _b, idx, result in st.harvest(steps_seg):
+                results[idx] = result
             admit_from_queue()
         elapsed = time.time() - t0
         total_tokens = sum(len(r["generated_tokens"]) for r in results if r)
@@ -632,6 +610,87 @@ class BatchedStaticEngine:
                     len(requests), total_steps,
                     total_tokens / max(elapsed, 1e-9))
         return results
+
+
+_EMPTY_RESULT = dict(generated_text="", generated_tokens=[],
+                     avg_accept_tokens=0, time_per_output_token=0)
+
+
+class _SlotTracker:
+    """Slot bookkeeping shared by BatchedStaticEngine.run and
+    ContinuousBatcher._loop (admission, per-slot sampling vectors,
+    budget-clamped harvest) — one implementation so fixes cannot diverge."""
+
+    def __init__(self, eng: "BatchedStaticEngine"):
+        self.eng = eng
+        self.slot_req = {}    # slot -> (tag, request); tag is caller-defined
+        self.slot_start = {}  # slot -> committed length at admission
+        self.slot_steps = {}
+        self.max_new = {}
+        self.stop_at = np.full(eng.batch_size, 1 << 30, np.int32)
+
+    def extract_ids(self, req):
+        ids = req.get("input_ids")
+        if ids is None and self.eng.tokenizer is not None:
+            ids = self.eng.tokenizer.encode(req.get("context", ""))
+        if ids is None:
+            return None
+        ids = np.asarray(ids, np.int32).reshape(-1)  # ndarray-safe (no `not ids`)
+        return ids if ids.size else None
+
+    def try_admit(self, slot: int, tag, req) -> bool:
+        ids = self.extract_ids(req)
+        if ids is None or not self.eng.admit(slot, ids):
+            return False
+        self.slot_req[slot] = (tag, req)
+        self.slot_start[slot] = int(self.eng.num_nodes[slot])
+        self.slot_steps[slot] = 0
+        self.max_new[slot] = int(req.get("max_new_tokens", 128))
+        self.stop_at[slot] = self.slot_start[slot] + self.max_new[slot]
+        return True
+
+    def sampling_vectors(self):
+        eng = self.eng
+        B = eng.batch_size
+        # INACTIVE slots get greedy/no-penalty placeholders — engine defaults
+        # there would defeat the all_greedy/use_pen static specializations
+        # even when every active request is greedy
+        tv = np.zeros(B, np.float32)
+        pv = np.full(B, eng.topp, np.float32)
+        rv = np.ones(B, np.float32)
+        for b, (_, req) in self.slot_req.items():
+            tv[b] = req.get("temperature", eng.temperature)
+            pv[b] = req.get("topp", eng.topp)
+            rv[b] = req.get("repetition_penalty", eng.repetition_penalty)
+        return tv, pv, rv
+
+    def harvest(self, steps_seg):
+        """[(slot, tag, result_dict)] for slots that finished this segment;
+        releases them. Output is clamped to the request budget (a full accepted
+        path can overshoot stop_at by up to tree_size tokens — a serving client
+        must never receive more than max_new_tokens(+1 trailing))."""
+        eng = self.eng
+        done = []
+        for b in list(self.slot_req):
+            self.slot_steps[b] += int(steps_seg[b])
+            if eng.active[b]:
+                continue  # still decoding
+            tag, req = self.slot_req[b]
+            end = min(int(eng.num_nodes[b]),
+                      self.slot_start[b] + self.max_new[b])
+            toks = eng.tokens_host[b, self.slot_start[b]: end + 1].tolist()
+            text = (eng.tokenizer.decode(
+                toks, skip_special_tokens=True,
+                clean_up_tokenization_spaces=False)
+                if eng.tokenizer else "")
+            done.append((b, tag, dict(
+                generated_text=text, generated_tokens=toks,
+                avg_accept_tokens=len(toks) / max(self.slot_steps[b], 1),
+                time_per_output_token=0.0)))
+            eng.release(b)
+            del (self.slot_req[b], self.slot_start[b], self.slot_steps[b],
+                 self.max_new[b])
+        return done
 
 
 class ContinuousBatcher:
@@ -666,55 +725,25 @@ class ContinuousBatcher:
 
     def _loop(self):
         eng = self.engine
-        B = eng.batch_size
-        slot_req = {}
-        slot_start = {}
-        slot_steps = {}
-        stop_at = np.full(B, 1 << 30, np.int32)
+        st = _SlotTracker(eng)
         while not self._stop.is_set():
-            with self._lock:
-                for b in eng.free_slots():
+            free = eng.free_slots()
+            for b in free:
+                # pop under the lock, admit OUTSIDE it: admission runs blocking
+                # multi-chunk device prefill and only this thread touches
+                # engine state — holding the lock would stall every submit()
+                with self._lock:
                     if not self._queue:
                         break
                     req, fut = self._queue.popleft()
-                    ids = req.get("input_ids")
-                    if ids is None and eng.tokenizer is not None:
-                        ids = eng.tokenizer.encode(req.get("context", ""))
-                    if not ids or not eng.admit(b, ids):
-                        fut.set_result(dict(generated_text="", generated_tokens=[],
-                                            avg_accept_tokens=0,
-                                            time_per_output_token=0))
-                        continue
-                    slot_req[b] = (req, fut)
-                    slot_start[b] = int(eng.num_nodes[b])
-                    slot_steps[b] = 0
-                    stop_at[b] = slot_start[b] + int(req.get("max_new_tokens", 128))
+                if not st.try_admit(b, fut, req):
+                    fut.set_result(dict(_EMPTY_RESULT))
+                    continue
             if not any(eng.active):
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
                 continue
-            tv = np.full(B, eng.temperature, np.float32)
-            pv = np.full(B, eng.topp, np.float32)
-            rv = np.full(B, eng.repetition_penalty, np.float32)
-            for b, (req, _) in slot_req.items():
-                tv[b] = req.get("temperature", eng.temperature)
-                pv[b] = req.get("topp", eng.topp)
-                rv[b] = req.get("repetition_penalty", eng.repetition_penalty)
-            steps_seg = eng.step_many(eng.segment_steps, stop_at, tv, pv, rv)
-            for b in list(slot_req):
-                slot_steps[b] += int(steps_seg[b])
-                if eng.active[b]:
-                    continue
-                req, fut = slot_req[b]
-                toks = eng.tokens_host[
-                    b, slot_start[b]: int(eng.num_nodes[b]) + 1].tolist()
-                text = (eng.tokenizer.decode(
-                    toks, skip_special_tokens=True,
-                    clean_up_tokenization_spaces=False)
-                    if eng.tokenizer else "")
-                fut.set_result(dict(
-                    generated_text=text, generated_tokens=toks,
-                    avg_accept_tokens=len(toks) / max(slot_steps[b], 1),
-                    time_per_output_token=0.0))
-                eng.release(b)
-                del slot_req[b], slot_start[b], slot_steps[b]
+            tv, pv, rv = st.sampling_vectors()
+            steps_seg = eng.step_many(eng.segment_steps, st.stop_at, tv, pv, rv)
+            for _b, fut, result in st.harvest(steps_seg):
+                fut.set_result(result)

@@ -249,18 +249,20 @@ class SpecEngineBase(BaseEngine):
         next_tok = None
         if self._prefill_fused:
             off = 0
-            while n_valid - off > PREFILL_CHUNK:
-                fn = self._get_prefill(PREFILL_CHUNK, False)
-                self.tokens, self.kv_draft, self.kv_target, _ = fn(
+            while off < n_valid:
+                rem = n_valid - off
+                bucket = PREFILL_CHUNK if rem > PREFILL_CHUNK \
+                    else next_bucket(rem, PREFILL_BUCKETS)
+                bucket = self._clamp_bucket(start + off, bucket)
+                emit = rem <= bucket
+                fn = self._get_prefill(bucket, emit)
+                self.tokens, self.kv_draft, self.kv_target, nt = fn(
                     pd, pt, self.kv_draft, self.kv_target, self.tokens,
-                    jnp.int32(start + off), jnp.int32(PREFILL_CHUNK), self._eos_arr)
-                off += PREFILL_CHUNK
-            rem = n_valid - off
-            bucket = next_bucket(rem, PREFILL_BUCKETS)
-            fn = self._get_prefill(bucket, True)
-            self.tokens, self.kv_draft, self.kv_target, next_tok = fn(
-                pd, pt, self.kv_draft, self.kv_target, self.tokens,
-                jnp.int32(start + off), jnp.int32(rem), self._eos_arr)
+                    jnp.int32(start + off),
+                    jnp.int32(rem if emit else bucket), self._eos_arr)
+                if emit:
+                    next_tok = nt
+                off += min(rem, bucket)
         else:
             # offload target: draft chunks jitted; target layer-streamed. Slices are
             # prepared in a jit (never eagerly — see CLAUDE.md runtime rules).
@@ -269,6 +271,7 @@ class SpecEngineBase(BaseEngine):
             while off < n_valid:
                 rem = n_valid - off
                 bucket = PREFILL_CHUNK if rem > PREFILL_CHUNK else next_bucket(rem, PREFILL_BUCKETS)
+                bucket = self._clamp_bucket(start + off, bucket)
                 self.kv_draft = self._get_prefill_draft(bucket)(
                     pd, self.kv_draft, self.tokens, jnp.int32(start + off))
                 ids, pos, mask = self._prepare_chunk(bucket)(
@@ -340,6 +343,16 @@ class SpecEngineBase(BaseEngine):
 
     def validate_status(self) -> bool:
         return self.num_nodes <= (self.max_length - self.safe_buffer)
+
+    def _clamp_bucket(self, chunk_start: int, bucket: int) -> int:
+        """Shrink a padded prefill bucket that would extend past max_length:
+        dynamic slices CLAMP out-of-range starts, which would silently shift
+        the window onto (and overwrite) already-committed tokens/KV."""
+        while chunk_start + bucket > self.max_length and bucket > PREFILL_BUCKETS[0]:
+            bucket = PREFILL_BUCKETS[PREFILL_BUCKETS.index(bucket) - 1]
+        assert chunk_start + bucket <= self.max_length, \
+            "prefill chunk exceeds the cache (overflow guard should prevent this)"
+        return bucket
 
     def update_generation_args(self, **generation_args):
         self.temperature = generation_args.pop("temperature", self.temperature)
@@ -459,7 +472,7 @@ class SpecEngineBase(BaseEngine):
         """Run the whole decode loop in ONE dispatch; sync host state once at the end.
         Returns large_model_steps; sets self._last_eos_stop."""
         greedy = self.temperature < 0.05
-        use_pen = self.repetition_penalty > 1.01
+        use_pen = abs(self.repetition_penalty - 1.0) > 0.01
         self._key, sub = jax.random.split(self._key)
         fn = self._get_decode_loop(greedy, self.topk, use_pen)
         out = fn(self.draft_model.params, self.target_model.params,

@@ -301,7 +301,7 @@ class StaticEngine(SpecEngineBase):
         """One fully device-resident build+stream+verify step (offload targets).
         Returns (nn', cont', accept_len, block) as device values — no host sync."""
         greedy = self.temperature < 0.05
-        use_pen = self.repetition_penalty > 1.01
+        use_pen = abs(self.repetition_penalty - 1.0) > 0.01
         self._key, sub = jax.random.split(self._key)
         self.tokens, self.kv_draft = self._build_tree_jit(
             self.draft_model.params, self.kv_draft, self.tokens, nn, self._consts)
@@ -318,7 +318,7 @@ class StaticEngine(SpecEngineBase):
 
     def verify(self) -> bool:
         greedy = self.temperature < 0.05
-        use_pen = self.repetition_penalty > 1.01
+        use_pen = abs(self.repetition_penalty - 1.0) > 0.01
         self._key, sub = jax.random.split(self._key)
         num_nodes = jnp.int32(self.num_nodes)
         fn = self._get_verify(greedy, self.topk, use_pen)
