@@ -61,6 +61,35 @@ def test_admit_bucket_clamped_near_cache_end():
     np.testing.assert_array_equal(eng_small.tokens_host[0, :160], prompt)
 
 
+def test_single_slot_prefill_bucket_clamped_near_cache_end():
+    """Same hazard in the single-slot engines: a 160-token prompt in a
+    max_length=200 engine picks bucket 256 > 200 without the clamp."""
+    from umbrella_tpu.sequoia import growmap_from_spec
+    from umbrella_tpu.speculation.static_engine import StaticEngine
+
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(1, 120, size=160).astype(np.int32)
+
+    def _decode(max_len):
+        eng = StaticEngine(
+            draft_model_name=_runtime(1, max_len),
+            target_model_name=_runtime(0, max_len), dtype=jnp.float32,
+            growmap=growmap_from_spec(3, 4), max_length=max_len,
+            eos_token_ids=[-1], safe_buffer=16, temperature=0.0)
+        eng.initialize()
+        assert eng._prefill(prompt)
+        start = eng.num_nodes
+        for _ in range(2):
+            eng.build_tree()
+            eng.verify()
+        return eng, eng.tokens_host[start: eng.num_nodes].tolist()
+
+    eng_small, got = _decode(200)
+    _, ref = _decode(512)
+    assert got == ref and len(ref) >= 2
+    np.testing.assert_array_equal(eng_small.tokens_host[:160], prompt)
+
+
 def test_step_accepts_scalar_sampling_params():
     eng = _engine(256)
     assert eng.admit(0, [1, 9, 23])
