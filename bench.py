@@ -11,11 +11,13 @@ completion = 195.3 tok/s (`README.md:146-150`, BASELINE.md). The fp16-8B MT-Benc
 row (100.7 tok/s, RTX 4090) is reported alongside in detail; an fp16 8B does not
 fit one v5e (16 GB) so the AWQ row is the honest hardware-for-hardware comparison.
 
-Secondary rows (detail): the round-1/2 1B-shape acceptance-floor row (labeled; a
-strict lower bound), 8B-AWQ with a separate 500M W4 draft (structural step time at
-the acceptance floor), continuous batching aggregate at B=8, dynamic-engine step,
-and the 70B-AWQ slope/TP/PP/offload extrapolations incl. a TP4 sharded continuous
-batching projection (north-star config[4]).
+Secondary rows (detail): a stochastic (T=0.6 top-p/top-k) run of the primary,
+the round-1/2 1B-shape acceptance-floor row (labeled; a strict lower bound),
+8B-AWQ with a separate 500M W4 draft (structural step time at the acceptance
+floor), continuous batching aggregate at B=8 (1B) and at the 8B primary
+composition with real acceptance, dynamic-engine step, and the 70B-AWQ
+slope/TP/PP/offload extrapolations incl. a TP4 sharded continuous batching
+projection (north-star config[4]).
 """
 import json
 import sys
