@@ -73,10 +73,11 @@ def main():
     # trained model's does, so the truncated draft is genuinely correlated and
     # acceptance is real, not scripted. Tree 24x6 (127 nodes): W4A16 verify is
     # MXU-latency-bound and ~flat to S=128 (ops/pallas/w4a16.py), so wide trees
-    # are ~free while draft cost scales with DEPTH. Swept on v5e (2026-08):
-    # exit 2/3/4 @24x6 = 199.4/217.9/214.8 tok/s (step 23.4/25.3/27.5 ms,
-    # accept 4.67/5.52/5.91); 18x7 @exit4 = 202.8 (depth adds step time but no
-    # acceptance at this correlation) — exit 3 @ 24x6 is the operating point.
+    # are ~free while draft cost scales with DEPTH. Swept on v5e (2026-08,
+    # int4f-hybrid prefix, gaussian-derived AWQ weights, 768-token runs):
+    # exit 3/4/5 @24x6 = 237.7/230.4/217.0 tok/s (step 22.0/23.9/25.6 ms,
+    # accept 5.24/5.49/5.56); 18x7 @exit4 = 227.7 (accept 5.68, depth costs
+    # more than it accepts) — exit 3 @ 24x6 is the operating point.
     EXIT = 3
     baseline_awq = 195.3   # 4080S, 8B-AWQ + CodeDrafter-500M code (README:146-150)
     baseline_fp16 = 100.7  # 4090, 8B fp16 + 1B draft MT-Bench (README:56-60)
@@ -88,6 +89,19 @@ def main():
             q._replace(scales=q.scales * 0.05) if i >= EXIT else q
             for i, q in enumerate(damped_layers[k]))
     target8.params = dict(target8.params, layers=damped_layers)
+    # The SHARED early-exit prefix (layers 0..EXIT-1 + lm_head) runs as Int4F
+    # (factorized-scale W4 on the 2x-rate int8 MXU, quantization/int4f.py) in
+    # BOTH the draft build and the verify forward; converting on the target
+    # keeps the draft bit-identical to the target's prefix — the same exact
+    # weight sharing the reference's exit_layer deployment has (ref
+    # llama.py:421,450-451). Measured (v5e 2026-08): step 25.6 -> 22.0 ms at
+    # unchanged acceptance; a draft-side-only conversion instead collapses
+    # acceptance (see ops/pallas/w4a8f.py docstring). Layers EXIT..31 stay AWQ
+    # W4A16 — the target remains a 4-bit-weight 8B end to end.
+    from umbrella_tpu.quantization.int4f import hybridize_shared_prefix
+
+    target8.params = hybridize_shared_prefix(target8.params, EXIT)
+    target8 = ModelRuntime(awq_cfg, target8.params, max_len, dtype=dtype)
     draft_ee = early_exit_runtime(target8, exit_layer=EXIT)
 
     gm_awq = growmap_from_spec(24, 6, acc=[0.55, 0.2, 0.1, 0.06, 0.05, 0.04])

@@ -223,14 +223,25 @@ def random_runtime(
 def random_awq_runtime(
     cfg: ModelConfig, max_length: int = 128, dtype=jnp.bfloat16, seed: int = 0,
     group_size: int = 128, n_layers: Optional[int] = None,
-    quantize_lm_head: bool = False,
+    quantize_lm_head: bool = False, weight_dist: str = "gaussian",
 ) -> ModelRuntime:
-    """Random W4-quantized model (AwqTensor weights built directly — no fp source);
-    lets benchmarks exercise the real 4-bit kernels at 8B/70B shapes cheaply."""
+    """Random W4-quantized model; lets benchmarks exercise the real 4-bit kernels
+    at 8B/70B shapes without checkpoints.
+
+    weight_dist="gaussian" (default) builds each AwqTensor by AWQ-quantizing a
+    gaussian weight matrix through the REAL pipeline (quantize_pack_device), so
+    the synthetic scale/zero matrices have the structure actual checkpoints
+    have: scales ~ per-column magnitude x small per-group variation (the
+    group max-min of 128 gaussians concentrates to ~10% CV — measured here),
+    zeros mid-range. That structure is what acceptance-emulation and the
+    factorized-scale Int4F draft path legitimately depend on. "raw" keeps the
+    old iid-uniform scales + uniform nibbles (scale CV ~55%, an adversarial
+    structure no real checkpoint exhibits); the W4A16/W4A8 kernels are
+    insensitive to the difference (same shapes, dtypes, and traffic)."""
     import numpy as np
 
     from ..ops.rope import rope_params
-    from ..quantization.awq import AwqTensor
+    from ..quantization.awq import AwqTensor, concat_awq, quantize_pack_device
 
     n = n_layers if n_layers is not None else cfg.num_hidden_layers
     H, D = cfg.hidden_size, cfg.resolved_head_dim
@@ -238,8 +249,23 @@ def random_awq_runtime(
     KV = cfg.num_key_value_heads * D
     I, V = cfg.intermediate_size, cfg.vocab_size
     rng = np.random.default_rng(seed)
+    gkey = jax.random.PRNGKey(seed)
+    counter = [0]
 
     def q_one(k_dim, n_dim):
+        if weight_dist == "gaussian":
+            # quantize a gaussian weight in N-chunks (fp32 intermediates of the
+            # 8B head would be 2.1 GB whole); one fold_in per chunk keeps the
+            # result deterministic in (seed, shapes) and backend-independent
+            parts = []
+            n_chunk = 8192
+            for n0 in range(0, n_dim, n_chunk):
+                counter[0] += 1
+                w = jax.random.normal(jax.random.fold_in(gkey, counter[0]),
+                                      (k_dim, min(n_chunk, n_dim - n0)),
+                                      jnp.float32) * 0.02
+                parts.append(quantize_pack_device(w, group_size, dtype=dtype))
+            return parts[0] if len(parts) == 1 else concat_awq(parts)
         G = k_dim // group_size
         return AwqTensor(
             w8=jnp.asarray(rng.integers(0, 256, (k_dim // 2, n_dim), dtype=np.uint8).view(np.int8)),

@@ -65,10 +65,16 @@ class StaticModelArgs(NamedTuple):
 
 def _linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None,
             act_int8: bool = False) -> jnp.ndarray:
-    """Dense or AWQ-quantized linear; w may be an array [in, out], an AwqTensor,
-    or an AwqLayerView (stacked W4 weights + traced layer index)."""
+    """Dense or quantized linear; w may be an array [in, out], an AwqTensor,
+    an AwqLayerView (stacked W4 weights + traced layer index), or an
+    Int4FTensor (factorized-scale W4, int8-MXU draft path)."""
     from ..quantization.awq import AwqLayerView, AwqTensor, awq_matmul
+    from ..quantization.int4f import Int4FTensor
 
+    if isinstance(w, Int4FTensor):
+        from ..ops.pallas.w4a8f import int4f_matmul
+
+        return int4f_matmul(x, w, b)
     if isinstance(w, (AwqTensor, AwqLayerView)):
         return awq_matmul(x, w, b, act_int8=act_int8)
     y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
@@ -242,8 +248,13 @@ def lm_head_logits(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
         logits = jnp.dot(hidden, params["embed"].T, preferred_element_type=jnp.float32)
     else:
         from ..quantization.awq import AwqTensor, awq_matmul
+        from ..quantization.int4f import Int4FTensor
 
-        if isinstance(lm_head, AwqTensor):
+        if isinstance(lm_head, Int4FTensor):
+            from ..ops.pallas.w4a8f import int4f_matmul
+
+            logits = int4f_matmul(hidden, lm_head, out_dtype=jnp.float32)
+        elif isinstance(lm_head, AwqTensor):
             logits = awq_matmul(hidden, lm_head, out_dtype=jnp.float32)
         else:
             logits = jnp.dot(hidden, lm_head, preferred_element_type=jnp.float32)

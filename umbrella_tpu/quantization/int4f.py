@@ -1,0 +1,230 @@
+"""Int4F: W4 weights with rank-1 factorized scales, for int8-MXU draft forwards.
+
+Why this format exists (TPU-native, no reference analogue — the reference's
+draft models are fp16 or AWQ checkpoints, `umbrella/quantization/awq_utils.py`):
+
+The W4A16 kernel (ops/pallas/w4a16.py) is MXU-latency-bound at tree-decode token
+counts — at S<=128 the bf16 MXU needs 2*128*K*N/197e12 s regardless of S, and
+the draft build phase is a serial chain of those floors. The v5e int8 MXU runs
+at 2x the bf16 rate (394 TOPS), but AWQ's per-(group, column) scales forbid
+full-K int8 dots: s[g, n] cannot move to either side of the matmul, so the
+per-group W4A8 kernel (w4a8.py) degenerates into 64 short dots and measures
+SLOWER than W4A16.
+
+Int4F removes the obstruction by construction. Quantize with a scale that is
+RANK-1 across (group, column):
+
+    w[k, n]  ~=  a[k] * b[n] * (q4[k, n] - 8),   q4 in [0, 15]
+
+Then
+
+    y[s, n] = sum_k x[s, k] w[k, n]
+            = b[n] * sum_k (x[s, k] a[k]) (q4[k, n] - 8)
+
+i.e. the row factor `a` premultiplies the ACTIVATIONS (free elementwise work,
+fused by XLA into the per-row int8 quantization), the column factor `b`
+postmultiplies the OUTPUT, and the inner sum is one full-K int8 x int8 MXU dot
+(ops/pallas/w4a8f.py). The weight stream stays 0.5 byte/weight in the same
+split-halves nibble packing as AwqTensor — HBM traffic is unchanged, the MXU
+floor halves, and the heavy per-element (w - z) * s dequant expansion of the
+W4A16 kernel disappears entirely (nibble unpack only).
+
+Fitting a, b: the row factor comes from the least-squares rank-1 fit in log
+space of the per-group magnitude matrix (for AWQ sources, its scale matrix;
+for dense sources, per-group max-abs), a[g] = exp(mean_n log m[g, n]); the
+column factor is then EXACT per column, b[n] = max_k |w[k, n]| / a[k] / 7.5,
+so no value clips. What rank-1 cannot represent becomes quantization error —
+acceptable for DRAFT models only (draft numerics affect acceptance rate, never
+correctness: greedy spec decode stays token-identical with the target's AR
+decode for any draft).
+
+Per-ROW activation quantization (not per-tile) keeps a token's quantized
+activations identical whether it is processed alone or in a tree batch — the
+same invariance the W4A8 kernel documents, and what makes the deferred-leaf
+KV recompute (speculation/static_engine.py) bit-identical.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Union
+
+import jax
+import jax.numpy as jnp
+
+
+class Int4FTensor(NamedTuple):
+    """Split-halves packed W4 with factorized scales (logical shape [K, N]).
+
+    w8 int8 [K/2, N]: low nibble = row r's q4, high nibble = row r + K/2's q4,
+    both in [0, 15] with implicit zero-point 8 (the kernel folds the -8 shift
+    via the precomputed activation row-sum). a fp32 [K] (expanded per-row),
+    b fp32 [N]."""
+    w8: jnp.ndarray
+    a: jnp.ndarray
+    b: jnp.ndarray
+
+    @property
+    def k(self) -> int:
+        return 2 * self.w8.shape[-2]
+
+    @property
+    def n(self) -> int:
+        return self.w8.shape[-1]
+
+
+def _log_row_factor(m: jnp.ndarray) -> jnp.ndarray:
+    """Rank-1 row factor of a positive [G, N] magnitude matrix: the log-space
+    least-squares fit log m[g,n] ~= log a[g] + log b[n] gives
+    a[g] = exp(mean_n log m[g, n]) up to a constant absorbed into b."""
+    return jnp.exp(jnp.mean(jnp.log(jnp.maximum(m.astype(jnp.float32), 1e-12)),
+                            axis=-1))
+
+
+@functools.partial(jax.jit, static_argnames=("group_size",))
+def _quantize_dense(w: jnp.ndarray, group_size: int) -> Int4FTensor:
+    K, N = w.shape
+    group_size = min(group_size, K)  # tiny test matrices: one group per column
+    assert K % group_size == 0 and K % 2 == 0, (K, group_size)
+    wf = w.astype(jnp.float32)
+    m = jnp.max(jnp.abs(wf.reshape(K // group_size, group_size, N)), axis=1)
+    a_g = _log_row_factor(m)  # [G]
+    a = jnp.repeat(a_g, group_size)  # [K]
+    return _requantize(wf, a)
+
+
+@jax.jit
+def _requantize(wf: jnp.ndarray, a: jnp.ndarray) -> Int4FTensor:
+    """fp32 [K, N] + row factor a [K] -> Int4FTensor (exact per-column b)."""
+    K, N = wf.shape
+    scaled = wf / a[:, None]
+    b = jnp.maximum(jnp.max(jnp.abs(scaled), axis=0) / 7.5, 1e-12)  # [N]
+    q4 = jnp.clip(jnp.round(scaled / b[None, :]) + 8, 0, 15).astype(jnp.int32)
+    lo, hi = q4[: K // 2], q4[K // 2:]
+    w8 = (lo | (hi << 4)).astype(jnp.int8)  # int32->int8 truncates (two's compl.)
+    return Int4FTensor(w8=w8, a=a.astype(jnp.float32), b=b.astype(jnp.float32))
+
+
+def quantize_int4f(w, group_size: int = 128, n_chunk: int = 8192) -> Int4FTensor:
+    """Quantize a dense [K, N] weight or an AwqTensor to Int4F (device-side).
+
+    AWQ sources are requantized from their dequantized values in N-chunks so the
+    fp32 intermediate never materializes whole (the 8B lm_head would be 2.1 GB);
+    the row factor comes from the AWQ scale matrix, which is small and read
+    whole."""
+    from .awq import AwqTensor, dequantize
+
+    if isinstance(w, AwqTensor):
+        a_g = _log_row_factor(jnp.asarray(w.scales))  # [G]
+        a = jnp.repeat(a_g, w.group_size)  # [K]
+        N = w.n
+        if N <= n_chunk:
+            return _requantize(dequantize(w, dtype=jnp.float32), a)
+        parts = []
+        for n0 in range(0, N, n_chunk):
+            chunk = AwqTensor(w8=w.w8[:, n0:n0 + n_chunk],
+                              scales=w.scales[:, n0:n0 + n_chunk],
+                              zeros=w.zeros[:, n0:n0 + n_chunk])
+            parts.append(_requantize(dequantize(chunk, dtype=jnp.float32), a))
+        return Int4FTensor(
+            w8=jnp.concatenate([p.w8 for p in parts], axis=1),
+            a=parts[0].a,
+            b=jnp.concatenate([p.b for p in parts], axis=0))
+    return _quantize_dense(jnp.asarray(w), group_size)
+
+
+def dequantize_int4f(q: Int4FTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Full dequant to [K, N] (tests / many-token prefill path)."""
+    w32 = q.w8.astype(jnp.int32)
+    lo = (w32 & 0xF) - 8
+    hi = ((w32 >> 4) & 0xF) - 8
+    qv = jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)
+    return (qv * q.a[:, None] * q.b[None, :]).astype(dtype)
+
+
+def has_int4f_layers(layers: dict) -> bool:
+    for v in layers.values():
+        if isinstance(v, Int4FTensor):
+            return True
+        if isinstance(v, tuple) and v and isinstance(v[0], Int4FTensor):
+            return True
+    return False
+
+
+def quantize_params_int4f(params: dict, group_size: int = 128,
+                          quantize_lm_head: bool = True) -> dict:
+    """Convert a llama-family param pytree's linear weights (dense stacks or
+    per-layer AwqTensor tuples) to Int4FTensor tuples; embeddings and norms stay
+    fp. Mirrors quantization/loader.quantize_params' structure."""
+    from .awq import AwqTensor
+
+    src_layers = params["layers"]
+    out_layers = dict(src_layers)
+    n = src_layers["input_norm"].shape[0]
+    names = [k for k in ("wq", "wk", "wv", "wo", "gate", "up", "down",
+                         "wqkv", "gate_up") if k in src_layers]
+    for name in names:
+        v = src_layers[name]
+        if isinstance(v, tuple):  # per-layer AwqTensors (or Int4F already)
+            if v and isinstance(v[0], Int4FTensor):
+                continue
+            out_layers[name] = tuple(quantize_int4f(t, group_size) for t in v)
+        else:  # stacked dense [n, K, N]
+            out_layers[name] = tuple(
+                quantize_int4f(v[i], group_size) for i in range(n))
+    out = dict(params)
+    out["layers"] = out_layers
+    if quantize_lm_head:
+        head = params.get("lm_head")
+        if head is None:
+            head = jnp.asarray(params["embed"]).T  # tied: materialize int4 head
+        if not isinstance(head, Int4FTensor):
+            out["lm_head"] = quantize_int4f(head, group_size)
+    return out
+
+
+def hybridize_shared_prefix(params: dict, n_prefix: int, group_size: int = 128,
+                            head: bool = True) -> dict:
+    """Convert the FIRST n_prefix layers' linears (and the lm_head) of a
+    quantized param pytree to Int4F, leaving later layers untouched.
+
+    For early-exit speculation (models/auto_model.early_exit_runtime) the draft
+    IS the target's first layers + head — the reference's exit_layer deployment
+    (`umbrella/models/llama.py:421,450-451`) shares those weights bit-exactly.
+    Converting them on the TARGET (so the sliced draft shares the converted
+    tensors) keeps that exact-sharing property while moving the shared tensors
+    onto the 2x-rate int8 MXU in BOTH the draft build and the verify forward.
+    A draft-side-only conversion instead adds requantization noise relative to
+    the target and measurably collapses acceptance (w4a8f.py docstring)."""
+    src = params["layers"]
+    out_layers = dict(src)
+    names = [k for k in ("wq", "wk", "wv", "wo", "gate", "up", "down",
+                         "wqkv", "gate_up") if k in src]
+    for name in names:
+        v = src[name]
+        assert isinstance(v, tuple), "hybridize expects per-layer tuples"
+        out_layers[name] = tuple(
+            quantize_int4f(t, group_size) if (i < n_prefix
+                                              and not isinstance(t, Int4FTensor))
+            else t
+            for i, t in enumerate(v))
+    out = dict(params)
+    out["layers"] = out_layers
+    if head:
+        h = params.get("lm_head")
+        if h is not None and not isinstance(h, Int4FTensor):
+            out["lm_head"] = quantize_int4f(h, group_size)
+    return out
+
+
+def quantize_runtime_int4f(runtime, group_size: int = 128,
+                           quantize_lm_head: bool = True):
+    """Int4F-quantize a loaded ModelRuntime — the DRAFT-side analogue of
+    quantization/loader.quantize_runtime, for the 2x-rate int8-MXU forward."""
+    from ..models.auto_model import ModelRuntime
+
+    params = quantize_params_int4f(runtime.params, group_size=group_size,
+                                   quantize_lm_head=quantize_lm_head)
+    return ModelRuntime(runtime.cfg, params, runtime.max_length,
+                        dtype=runtime.dtype, family=runtime.family,
+                        n_layers=runtime.args.n_layers,
+                        model_name=runtime.model_name)

@@ -109,7 +109,18 @@ class SpecEngineBase(BaseEngine):
                 "ICI); use tensor_parallel + data-parallel hosts for multi-host")
             self.mesh = Mesh(np.asarray(devices), ("pipe",))
         self.draft_model = self._load_model(self.draft_model_name, offload=False)
-        if self.config.get("quantize_draft", False):
+        qd = self.config.get("quantize_draft", False)
+        if qd == "int4f":
+            # Int4F-requantize the draft (factorized-scale W4, full-K int8-MXU
+            # dots at 2x the bf16 rate — quantization/int4f.py). Converts dense
+            # AND AWQ drafts; the extra quantization error only moves the
+            # acceptance rate, never output correctness.
+            from ..quantization.int4f import (has_int4f_layers,
+                                              quantize_runtime_int4f)
+
+            if not has_int4f_layers(self.draft_model.params["layers"]):
+                self.draft_model = quantize_runtime_int4f(self.draft_model)
+        elif qd:
             # W4-quantize an fp draft in process (TPU extension; the draft re-reads
             # all its weights once per tree level, so W4 cuts build_tree HBM
             # traffic ~4x). No-op for drafts that are already AWQ checkpoints.
