@@ -59,6 +59,29 @@ def _history_context(history) -> str:
     return context
 
 
+def make_backend(engine):
+    """Engines expose generate_stream directly; a BatchedStaticEngine (config
+    "engine": "batched_static") is wrapped in ContinuousBatcher + BatcherBackend
+    so the chat streams partial frames from the batched deployment path too
+    (reference contract: live partials in gradio, ref app/gradio_chat.py:28-59)."""
+    if hasattr(engine, "generate_stream"):
+        return engine
+    from umbrella_tpu.serving.batched_engine import ContinuousBatcher
+    from umbrella_tpu.serving.scheduler import BatcherBackend
+
+    batcher = ContinuousBatcher(engine)
+    batcher.start()
+    return BatcherBackend(batcher)
+
+
+def _fmt_perf(perf) -> str:
+    if isinstance(perf, dict):  # batched final frame carries the result dict
+        return "Avg Accept Tokens {:.2f} | TPOT {:.2f} ms".format(
+            perf.get("avg_accept_tokens", 0) or 0,
+            perf.get("time_per_output_token", 0) or 0)
+    return str(perf)
+
+
 def build_app(engine):
     def chat(message, history, temperature, topp, repetition_penalty, max_new_tokens):
         context = (SysPrompts[template] + _history_context(history)
@@ -68,7 +91,7 @@ def build_app(engine):
             temperature=float(temperature), topp=float(topp),
             repetition_penalty=float(repetition_penalty))
         for partial_text, perf_log in stream:
-            yield partial_text + f"\n\n`{perf_log}`"
+            yield partial_text + f"\n\n`{_fmt_perf(perf_log)}`"
 
     return gr.ChatInterface(
         chat,
@@ -87,7 +110,7 @@ def main():
         raise SystemExit("gradio is not installed; pip install gradio to use this app")
     engine = AutoEngine.from_config(device=None, **config)
     engine.initialize()
-    build_app(engine).launch()
+    build_app(make_backend(engine)).launch()
 
 
 if __name__ == "__main__":

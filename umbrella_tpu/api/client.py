@@ -34,6 +34,18 @@ class APIClient:
         send_data(self.client_socket, api_args)
         return receive_data(self.client_socket)
 
+    def stream_output(self, **api_args):
+        """Generator of partial frames {"partial": true, "generated_text": ...}
+        ending with the final result dict ({"processed": true}). Only valid on a
+        connection without other in-flight requests (pipelined streams need
+        per-request demultiplexing by req_id)."""
+        send_data(self.client_socket, dict(api_args, stream=True))
+        while True:
+            frame = receive_data(self.client_socket)
+            yield frame
+            if not frame.get("partial", False):
+                return
+
     def close(self):
         send_data(self.client_socket, {"terminate": True})
         self.client_socket.close()

@@ -56,6 +56,18 @@ class APIServer:
                         f"Received dictionary from {addr}", "cyan"))
                     if received.get("terminate", False):
                         break
+                    # "stream": true => 0+ partial frames {"partial": true,
+                    # "generated_text": text_so_far, "perf": str, "req_id": id}
+                    # precede the final result dict ({"processed": true}).
+                    # req_id (client-chosen, echoed verbatim) lets a client
+                    # pipelining several requests on one connection pair frames
+                    # with requests; frames of concurrent batched requests
+                    # interleave on the wire.
+                    stream = bool(received.pop("stream", False))
+                    req_id = received.pop("req_id", None)
+                    stream_cb = (self._make_stream_cb(conn, addr, send_lock,
+                                                      req_id)
+                                 if stream else None)
                     if self.scheduler is not None:
                         if received.get("get_metrics", False):
                             with send_lock:
@@ -63,17 +75,21 @@ class APIServer:
                                                      processed=True))
                             continue
                         priority = int(received.pop("priority", 10))
-                        fut = self.scheduler.submit(priority=priority, **received)
+                        fut = self.scheduler.submit(
+                            priority=priority, stream_cb=stream_cb, **received)
                         fut.add_done_callback(
-                            lambda f, c=conn, a=addr, lk=send_lock:
-                            self._send_result(c, a, lk, f))
+                            lambda f, c=conn, a=addr, lk=send_lock, r=req_id:
+                            self._send_result(c, a, lk, f, r))
                     elif self.batcher is not None:
+                        if stream_cb is not None:
+                            received["stream_cb"] = stream_cb
                         fut = self.batcher.submit(**received)
                         fut.add_done_callback(
-                            lambda f, c=conn, a=addr, lk=send_lock:
-                            self._send_result(c, a, lk, f))
+                            lambda f, c=conn, a=addr, lk=send_lock, r=req_id:
+                            self._send_result(c, a, lk, f, r))
                     else:
-                        self.message_queue.put((addr, conn, received))
+                        self.message_queue.put(
+                            (addr, conn, received, stream_cb, req_id, send_lock))
                 except Exception as e:
                     logger.error(TextColors.colorize(
                         f"Error handling data from {addr}: {e}", "red"))
@@ -82,7 +98,21 @@ class APIServer:
             conn.close()
             logger.info(TextColors.colorize(f"Connection with {addr} closed", "cyan"))
 
-    def _send_result(self, conn, addr, send_lock, fut):
+    def _make_stream_cb(self, conn, addr, send_lock, req_id):
+        def cb(text, perf):
+            frame = {"partial": True, "generated_text": text,
+                     "perf": perf if isinstance(perf, str) else None}
+            if req_id is not None:
+                frame["req_id"] = req_id
+            try:
+                with send_lock:
+                    send_data(conn, frame)
+            except Exception as e:
+                logger.error(TextColors.colorize(
+                    f"Error streaming to {addr}: {e}", "red"))
+        return cb
+
+    def _send_result(self, conn, addr, send_lock, fut, req_id=None):
         try:
             result = fut.result()
             processed = {**result, "processed": True,
@@ -91,6 +121,8 @@ class APIServer:
             processed = {"processed": False, "error": f"{type(e).__name__}: {e}",
                          "generated_text": "", "generated_tokens": [],
                          "avg_accept_tokens": 0, "time_per_output_token": 0}
+        if req_id is not None:
+            processed["req_id"] = req_id
         try:
             with send_lock:
                 send_data(conn, processed)
@@ -100,15 +132,26 @@ class APIServer:
 
     def process_queue(self):
         while True:
-            addr, conn, message = self.message_queue.get()
-            if message is None:  # shutdown sentinel
+            item = self.message_queue.get()
+            if item[2] is None:  # shutdown sentinel
                 return
+            addr, conn, message, stream_cb, req_id, send_lock = item
             with self.queue_lock:
-                output = self.engine.generate(**message)
+                if stream_cb is not None:
+                    partial = perf = None
+                    for partial, perf in self.engine.generate_stream(**message):
+                        stream_cb(partial, perf)
+                    output = perf if isinstance(perf, dict) else {
+                        "generated_text": partial or "", "perf": perf}
+                else:
+                    output = self.engine.generate(**message)
                 processed = {**output, "processed": True,
                              "response": "Processed successfully"}
+                if req_id is not None:
+                    processed["req_id"] = req_id
                 try:
-                    send_data(conn, processed)
+                    with send_lock:
+                        send_data(conn, processed)
                 except Exception as e:
                     logger.error(TextColors.colorize(
                         f"Error sending data to {addr}: {e}", "red"))

@@ -63,6 +63,10 @@ class BatchedStaticEngine:
         self.topk = kwargs.pop("topk", 32)  # static (tree-verify top-k filter width)
         # decode steps fused into ONE dispatch between host syncs (admission points)
         self.segment_steps = kwargs.pop("segment_steps", 8)
+        # prefill chunks the serving loop may run per segment boundary while
+        # other slots decode (ContinuousBatcher._loop admission interleaving)
+        self.prefill_chunks_per_segment = int(
+            kwargs.pop("prefill_chunks_per_segment", 1))
         self.tokenizer = kwargs.pop("tokenizer", None)
         self.eos_token_ids = kwargs.pop("eos_token_ids", None)
         self.seed = kwargs.pop("seed", 0)
@@ -122,7 +126,13 @@ class BatchedStaticEngine:
         assert self.draft_model.family != "gemma2" \
             and self.target_model.family != "gemma2", \
             "batched engine currently covers the llama-family forward"
-        if self.quantize_draft:
+        if self.quantize_draft == "int4f":
+            from ..quantization.int4f import (has_int4f_layers,
+                                              quantize_runtime_int4f)
+
+            if not has_int4f_layers(self.draft_model.params["layers"]):
+                self.draft_model = quantize_runtime_int4f(self.draft_model)
+        elif self.quantize_draft:
             from ..quantization.awq import has_awq_layers
             from ..quantization.loader import quantize_runtime
 
@@ -455,16 +465,39 @@ class BatchedStaticEngine:
     def free_slots(self) -> List[int]:
         return [b for b in range(self.batch_size) if not self.active[b]]
 
-    def admit(self, slot: int, input_ids) -> bool:
-        """Chunked prefill of a request into `slot`; returns False on overflow."""
+    def begin_admission(self, slot: int, input_ids) -> Optional[dict]:
+        """Stage a chunked prefill into `slot` (the slot stays INACTIVE until
+        every chunk has run). Returns a resumable admission state for
+        `advance_admission`, or None if the request cannot fit. Splitting
+        admission into bounded chunk steps lets the serving loop interleave
+        prefill chunks with decode segments, so a long prompt never stalls the
+        other B-1 decoding slots for its whole prefill."""
         ids = np.asarray(input_ids, np.int32).reshape(-1)
         n = len(ids)
         if n == 0 or n >= self.max_length - 2 * self.safe_buffer:
-            return False
+            return None
+        # Point the slot's scratch region past the INCOMING prompt immediately:
+        # decode segments interleaved between this admission's chunks still run
+        # the inactive slot's gated step, whose tree/KV scratch writes land at
+        # rows >= num_nodes[slot]. Left at the PREVIOUS request's length, those
+        # writes could overlap (and corrupt) rows the chunked prefill has
+        # already written. With num_nodes = n, inactive-step writes touch only
+        # rows >= n-1; row n-1's token/KV are (re)written by the final prefill
+        # chunk and rows >= n by the first active decode step, so nothing
+        # prefilled is ever clobbered.
+        self.num_nodes[slot] = n
+        return {"slot": slot, "ids": ids, "off": 0, "failed": False}
+
+    def advance_admission(self, st: dict, max_chunks: int = 1 << 30) -> bool:
+        """Run up to `max_chunks` prefill chunks of a staged admission; returns
+        True when the admission is finished (check st["failed"]). On the final
+        chunk the slot's bookkeeping is committed and the slot activates."""
+        ids, slot = st["ids"], st["slot"]
+        n = len(ids)
         pd, pt = self.draft_model.params, self.target_model.params
-        off = 0
         CH = PREFILL_BUCKETS[-1]
-        while off < n:
+        for _ in range(max_chunks):
+            off = st["off"]
             rem = n - off
             bucket = CH if rem > CH else next_bucket(rem, PREFILL_BUCKETS)
             # never let a padded chunk extend past the cache end: dynamic
@@ -473,7 +506,8 @@ class BatchedStaticEngine:
             while off + bucket > self.max_length and bucket > PREFILL_BUCKETS[0]:
                 bucket = PREFILL_BUCKETS[PREFILL_BUCKETS.index(bucket) - 1]
             if off + bucket > self.max_length:
-                return False
+                st["failed"] = True
+                return True
             emit = rem <= bucket
             prompt = np.zeros(bucket, np.int32)
             prompt[:min(rem, bucket)] = ids[off:off + min(rem, bucket)]
@@ -482,12 +516,24 @@ class BatchedStaticEngine:
                 pd, pt, self.kv_draft, self.kv_target, self.tokens,
                 jnp.asarray(prompt), jnp.int32(slot), jnp.int32(off),
                 jnp.int32(rem if emit else bucket))
-            off += min(rem, bucket)
-        self.tokens_host[slot, :n] = ids
-        self.tokens_host[slot, n] = int(next_tok)
-        self.num_nodes[slot] = n
-        self.active[slot] = True
-        return True
+            st["off"] = off + min(rem, bucket)
+            if st["off"] >= n:
+                self.tokens_host[slot, :n] = ids
+                self.tokens_host[slot, n] = int(next_tok)
+                self.num_nodes[slot] = n
+                self.active[slot] = True
+                return True
+        return False
+
+    def admit(self, slot: int, input_ids) -> bool:
+        """Chunked prefill of a request into `slot`; returns False on overflow.
+        (Synchronous whole-prompt admission; the serving loop uses the
+        begin_admission/advance_admission pair to interleave with decode.)"""
+        st = self.begin_admission(slot, input_ids)
+        if st is None:
+            return False
+        self.advance_admission(st)
+        return not st["failed"]
 
     def release(self, slot: int):
         self.active[slot] = False
@@ -628,6 +674,9 @@ class _SlotTracker:
         self.slot_steps = {}
         self.max_new = {}
         self.stop_at = np.full(eng.batch_size, 1 << 30, np.int32)
+        self.pending = {}     # slot -> (admission state, tag, request)
+        self.emitted = {}     # slot -> tokens already sent to its stream_cb
+        self._rr_last = -1    # round-robin pointer over pending admissions
 
     def extract_ids(self, req):
         ids = req.get("input_ids")
@@ -638,16 +687,89 @@ class _SlotTracker:
         ids = np.asarray(ids, np.int32).reshape(-1)  # ndarray-safe (no `not ids`)
         return ids if ids.size else None
 
-    def try_admit(self, slot: int, tag, req) -> bool:
-        ids = self.extract_ids(req)
-        if ids is None or not self.eng.admit(slot, ids):
-            return False
+    def _register(self, slot: int, tag, req):
         self.slot_req[slot] = (tag, req)
         self.slot_start[slot] = int(self.eng.num_nodes[slot])
         self.slot_steps[slot] = 0
         self.max_new[slot] = int(req.get("max_new_tokens", 128))
         self.stop_at[slot] = self.slot_start[slot] + self.max_new[slot]
+
+    def try_admit(self, slot: int, tag, req) -> bool:
+        """Synchronous whole-prompt admission (run()'s path)."""
+        ids = self.extract_ids(req)
+        st = None if ids is None else self.eng.begin_admission(slot, ids)
+        if st is None:
+            return False
+        self.eng.advance_admission(st)
+        if st["failed"]:
+            return False
+        self._register(slot, tag, req)
         return True
+
+    def occupied(self):
+        """Slots that must not take a new request (decoding or mid-admission)."""
+        return set(self.slot_req) | set(self.pending)
+
+    def begin_admit(self, slot: int, tag, req) -> bool:
+        """Stage an admission for chunk-at-a-time progress (the serving loop's
+        path — prefill chunks interleave with decode segments)."""
+        ids = self.extract_ids(req)
+        st = None if ids is None else self.eng.begin_admission(slot, ids)
+        if st is None:
+            return False
+        self.pending[slot] = (st, tag, req)
+        return True
+
+    def advance_admissions(self, max_chunks: int):
+        """Advance pending admissions by up to max_chunks prefill chunks TOTAL
+        (round-robin across slots so one long prompt cannot starve the rest).
+        Returns [(slot, tag, ok)] for admissions that completed."""
+        done = []
+        budget = max_chunks
+        order = sorted(self.pending)
+        order = ([s for s in order if s > self._rr_last]
+                 + [s for s in order if s <= self._rr_last])
+        for slot in order:
+            if budget <= 0:
+                break
+            st, tag, req = self.pending[slot]
+            budget -= 1
+            self._rr_last = slot
+            if not self.eng.advance_admission(st, max_chunks=1):
+                continue
+            del self.pending[slot]
+            if st["failed"]:
+                done.append((slot, tag, False))
+            else:
+                self._register(slot, tag, req)
+                done.append((slot, tag, True))
+        return done
+
+    def emit_partials(self):
+        """Send newly committed text to each streaming request's stream_cb —
+        the batched counterpart of the single-slot generate_stream contract
+        (engine_common.py: frames of (partial_text_so_far, perf_log); the
+        reference streams per accept step, ref static engine :437-566)."""
+        eng = self.eng
+        for b, (_tag, req) in list(self.slot_req.items()):
+            cb = req.get("stream_cb")
+            if cb is None:
+                continue
+            end = min(int(eng.num_nodes[b]), self.slot_start[b] + self.max_new[b])
+            ntok = end - self.slot_start[b]
+            if ntok <= self.emitted.get(b, 0):
+                continue
+            self.emitted[b] = ntok
+            toks = eng.tokens_host[b, self.slot_start[b]: end].tolist()
+            text = (eng.tokenizer.decode(
+                toks, skip_special_tokens=True,
+                clean_up_tokenization_spaces=False) if eng.tokenizer else "")
+            perf = "Output Tokens {} | Avg Accept Tokens {:.2f} ".format(
+                ntok, ntok / max(self.slot_steps[b], 1))
+            try:
+                cb(text, perf)
+            except Exception:  # a broken client must not stop the batch
+                logger.exception("stream_cb failed")
 
     def sampling_vectors(self):
         eng = self.eng
@@ -688,6 +810,7 @@ class _SlotTracker:
                 avg_accept_tokens=len(toks) / max(self.slot_steps[b], 1),
                 time_per_output_token=0.0)))
             eng.release(b)
+            self.emitted.pop(b, None)
             del (self.slot_req[b], self.slot_start[b], self.slot_steps[b],
                  self.max_new[b])
         return done
@@ -726,24 +849,38 @@ class ContinuousBatcher:
     def _loop(self):
         eng = self.engine
         st = _SlotTracker(eng)
+        per_boundary = max(1, int(getattr(eng, "prefill_chunks_per_segment", 1)))
         while not self._stop.is_set():
-            free = eng.free_slots()
-            for b in free:
+            occupied = st.occupied()
+            for b in range(eng.batch_size):
+                if b in occupied:
+                    continue
                 # pop under the lock, admit OUTSIDE it: admission runs blocking
-                # multi-chunk device prefill and only this thread touches
-                # engine state — holding the lock would stall every submit()
+                # device prefill and only this thread touches engine state —
+                # holding the lock would stall every submit()
                 with self._lock:
                     if not self._queue:
                         break
                     req, fut = self._queue.popleft()
-                if not st.try_admit(b, fut, req):
+                if not st.begin_admit(b, fut, req):
                     fut.set_result(dict(_EMPTY_RESULT))
                     continue
+            # Interleave prefill with decode: while any slot is decoding, run at
+            # most `per_boundary` prefill chunks per segment boundary, so a long
+            # prompt admits incrementally instead of stalling B-1 active slots
+            # for its whole multi-chunk prefill. With nothing decoding there is
+            # nothing to stall — admissions run to completion at full speed.
+            budget = per_boundary if any(eng.active) else (1 << 30)
+            for _slot, fut, ok in st.advance_admissions(budget):
+                if not ok:
+                    fut.set_result(dict(_EMPTY_RESULT))
             if not any(eng.active):
-                self._wake.wait(timeout=0.05)
-                self._wake.clear()
+                if not st.pending:
+                    self._wake.wait(timeout=0.05)
+                    self._wake.clear()
                 continue
             tv, pv, rv = st.sampling_vectors()
             steps_seg = eng.step_many(eng.segment_steps, st.stop_at, tv, pv, rv)
             for _b, fut, result in st.harvest(steps_seg):
                 fut.set_result(result)
+            st.emit_partials()

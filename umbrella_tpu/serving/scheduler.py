@@ -137,10 +137,21 @@ class BatcherBackend:
         return self.batcher.submit(**request).result()
 
     def generate_stream(self, **request):
-        """One final yield (the batcher has no partial streaming): the full
-        result dict rides the perf slot so the Scheduler worker keeps
-        generated_tokens for its metrics."""
-        result = self.generate(**request)
+        """Partial frames (text_so_far, perf_log) per decode segment via the
+        batcher's stream_cb (serving loop emit_partials), then one final
+        (full_text, result_dict) — the dict rides the perf slot so the
+        Scheduler worker keeps generated_tokens for its metrics."""
+        frames: "queue.Queue" = queue.Queue()
+        done = object()
+        request["stream_cb"] = lambda text, perf: frames.put((text, perf))
+        fut = self.batcher.submit(**request)
+        fut.add_done_callback(lambda _f: frames.put(done))
+        while True:
+            item = frames.get()
+            if item is done:
+                break
+            yield item
+        result = fut.result()  # raises if the batcher failed the request
         yield result.get("generated_text", ""), result
 
 

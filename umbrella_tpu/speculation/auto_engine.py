@@ -38,8 +38,8 @@ _ENGINE_CONFIG_KEYS = {
     # error names them as unsupported-for-this-engine rather than unknown)
     "batched_static": (_COMMON_KEYS - {"stop_distance"}) | _APP_KEYS | {
         "growmap_path", "growmap", "batch_size", "segment_steps",
-        "tensor_parallel", "pipeline_parallel", "offload", "exit_layer",
-        "num_cache_layers", "quantize_draft"},
+        "prefill_chunks_per_segment", "tensor_parallel", "pipeline_parallel",
+        "offload", "exit_layer", "num_cache_layers", "quantize_draft"},
 }
 
 
