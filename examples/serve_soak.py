@@ -26,6 +26,12 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--requests", type=int, default=32)
     p.add_argument("--max-new", type=int, default=128)
+    p.add_argument("--prompt-min", type=int, default=32)
+    p.add_argument("--prompt-max", type=int, default=256)
+    p.add_argument("--max-len", type=int, default=2048)
+    p.add_argument("--mixed-priorities", action="store_true",
+                   help="alternate priority 1/5 to exercise per-class metrics "
+                        "and inversion accounting under the batcher lookahead")
     args = p.parse_args()
 
     import jax
@@ -42,7 +48,7 @@ def main():
                                                      ContinuousBatcher)
     from umbrella_tpu.serving.scheduler import make_scheduler
 
-    max_len = 2048
+    max_len = args.max_len
     target_cfg = ModelConfig(
         vocab_size=128256, hidden_size=2048, intermediate_size=8192,
         num_hidden_layers=16, num_attention_heads=32, num_key_value_heads=8,
@@ -78,13 +84,15 @@ def main():
     t0 = time.time()
     futs = []
     for i in range(args.requests):
-        n_prompt = int(rng.integers(32, 256))
+        n_prompt = int(rng.integers(args.prompt_min, args.prompt_max))
         n_new = int(rng.integers(args.max_new // 2, args.max_new))
         ts = time.time()
-        # uniform priority: the latency headline must not embed deliberate
-        # priority inversions (class ordering is covered by test_server_scheduler)
+        # uniform priority by default: the latency headline must not embed
+        # deliberate inversions; --mixed-priorities exercises the per-class
+        # metrics + inversion accounting instead
+        prio = (1 if (i % 4 == 0) else 5) if args.mixed_priorities else 1
         fut = sched.submit(
-            priority=1,
+            priority=prio,
             input_ids=rng.integers(0, 120000, size=n_prompt).astype(np.int32)
             .tolist(), max_new_tokens=n_new)
         futs.append((fut, ts, n_new))
@@ -95,7 +103,7 @@ def main():
         lat.append(time.time() - ts)
         total_tokens += len(out["generated_tokens"])
     wall = time.time() - t0
-    sched_metrics = dict(sched.metrics)
+    sched_metrics = sched.snapshot_metrics()
     sched.shutdown(wait=False)
     batcher.shutdown()
 
@@ -116,6 +124,11 @@ def main():
             "scheduler_queue_seconds_total": round(sched_metrics["queue_seconds"], 2),
             "scheduler_queue_s_mean": round(
                 sched_metrics["queue_seconds"] / max(sched_metrics["requests"], 1), 3),
+            "priority_inversions": sched_metrics["priority_inversions"],
+            "queue_s_mean_by_priority": {
+                k: round(v["queue_seconds"] / max(v["requests"], 1), 3)
+                for k, v in sched_metrics["by_priority"].items()},
+            "prompt_tokens": [args.prompt_min, args.prompt_max],
             "note": "random weights => acceptance floor; throughput is a lower bound",
         },
     }

@@ -57,3 +57,94 @@ def test_scheduler_priority_order():
     low.result(timeout=120)
     sched.shutdown()
     assert order[0] == (4, 5, 6)  # high priority ran first
+
+
+def test_per_priority_metrics_and_snapshot():
+    sched = Scheduler([_engine()])
+    sched.start()
+    try:
+        f1 = sched.submit(priority=1, input_ids=[1, 2, 3], max_new_tokens=4)
+        f2 = sched.submit(priority=5, input_ids=[4, 5, 6], max_new_tokens=4)
+        f3 = sched.submit(priority=5, input_ids=[7, 8, 9], max_new_tokens=4)
+        for f in (f1, f2, f3):
+            f.result(timeout=120)
+        snap = sched.snapshot_metrics()
+        assert snap["by_priority"]["1"]["requests"] == 1
+        assert snap["by_priority"]["5"]["requests"] == 2
+        assert snap["by_priority"]["5"]["tokens"] >= 8
+        assert snap["by_priority"]["1"]["queue_seconds"] >= 0.0
+        assert snap["priority_inversions"] == 0  # single worker: pops in order
+        # snapshot is a COPY: mutating it must not touch live metrics
+        snap["by_priority"]["1"]["requests"] = 99
+        assert sched.metrics["by_priority"]["1"]["requests"] == 1
+    finally:
+        sched.shutdown()
+
+
+def test_expired_requests_count_in_priority_bucket():
+    import time as _time
+
+    from umbrella_tpu.serving.scheduler import DeadlineExpired
+
+    sched = Scheduler([_engine()])
+    fut = sched.submit(priority=7, deadline_s=0.01, input_ids=[1, 2],
+                       max_new_tokens=4)
+    _time.sleep(0.1)  # let it expire before any worker exists
+    sched.start()
+    try:
+        try:
+            fut.result(timeout=30)
+            assert False, "expected DeadlineExpired"
+        except DeadlineExpired:
+            pass
+        snap = sched.snapshot_metrics()
+        assert snap["by_priority"]["7"]["expired"] == 1
+        assert snap["by_priority"]["7"]["requests"] == 0
+    finally:
+        sched.shutdown()
+
+
+def test_on_slot_admission_counts_scheduler_queue_inversion():
+    sched = Scheduler([_engine()])  # workers never started: queue is static
+    sched.submit(priority=1, input_ids=[1], max_new_tokens=1)
+    sched._on_slot_admission(5)          # better (1) waiting -> inversion
+    sched._on_slot_admission(1)          # nothing better than 1 -> no
+    sched._on_slot_admission(5, downstream_better=True)  # batcher-side report
+    assert sched.metrics["priority_inversions"] == 2
+
+
+def test_batcher_fifo_inversion_reported_at_admission():
+    """A better-priority request stuck BEHIND a worse one in the batcher FIFO
+    is reported as that worse request's inversion at slot admission."""
+    from umbrella_tpu.serving.batched_engine import (BatchedStaticEngine,
+                                                     ContinuousBatcher)
+
+    eng = BatchedStaticEngine(
+        draft_model_name=random_runtime(_cfg(), MAX_LEN, seed=1),
+        target_model_name=random_runtime(_cfg(), MAX_LEN, seed=0),
+        batch_size=1, dtype=jnp.float32, growmap=growmap_from_spec(3, 4),
+        max_length=MAX_LEN, safe_buffer=32, eos_token_ids=[-1],
+        segment_steps=2)
+    eng.initialize()
+    batcher = ContinuousBatcher(eng)
+    calls = {}
+
+    def rec(name):
+        return lambda downstream_better: calls.setdefault(name, downstream_better)
+
+    # enqueue BEFORE starting the loop: FIFO pops A, then B (with better C
+    # behind it -> inversion), then C (queue empty -> none)
+    fa = batcher.submit(input_ids=[1, 5, 9], max_new_tokens=8,
+                        _priority=5, _admit_cb=rec("A"))
+    fb = batcher.submit(input_ids=[2, 6, 1], max_new_tokens=8,
+                        _priority=5, _admit_cb=rec("B"))
+    fc = batcher.submit(input_ids=[3, 7, 2], max_new_tokens=8,
+                        _priority=1, _admit_cb=rec("C"))
+    batcher.start()
+    try:
+        for f in (fa, fb, fc):
+            f.result(timeout=120)
+        assert calls["B"] is True, calls
+        assert calls["C"] is False
+    finally:
+        batcher.shutdown()

@@ -68,6 +68,12 @@ def test_priority_ordering_and_metrics_over_socket():
         assert m["requests"] == 3
         assert m["queue_seconds"] > 0.1  # low+high waited behind the blocker
         assert m["busy_seconds"] > 0.5
+        # per-priority split survives the JSON round-trip (string keys)
+        assert m["by_priority"]["10"]["requests"] == 1
+        assert m["by_priority"]["1"]["requests"] == 1
+        assert m["by_priority"]["20"]["requests"] == 1
+        assert m["by_priority"]["1"]["queue_seconds"] > 0.0
+        assert m["priority_inversions"] == 0  # single worker pops in order
     finally:
         server.shutdown()
 

@@ -71,8 +71,9 @@ class APIServer:
                     if self.scheduler is not None:
                         if received.get("get_metrics", False):
                             with send_lock:
-                                send_data(conn, dict(self.scheduler.metrics,
-                                                     processed=True))
+                                send_data(conn, dict(
+                                    self.scheduler.snapshot_metrics(),
+                                    processed=True))
                             continue
                         priority = int(received.pop("priority", 10))
                         fut = self.scheduler.submit(

@@ -693,6 +693,12 @@ class _SlotTracker:
         self.slot_steps[slot] = 0
         self.max_new[slot] = int(req.get("max_new_tokens", 128))
         self.stop_at[slot] = self.slot_start[slot] + self.max_new[slot]
+        cb = req.get("_admit_cb")  # scheduler inversion accounting hook
+        if cb is not None:
+            try:
+                cb(bool(req.get("_downstream_better", False)))
+            except Exception:
+                logger.exception("_admit_cb failed")
 
     def try_admit(self, slot: int, tag, req) -> bool:
         """Synchronous whole-prompt admission (run()'s path)."""
@@ -862,6 +868,14 @@ class ContinuousBatcher:
                     if not self._queue:
                         break
                     req, fut = self._queue.popleft()
+                    # inversion accounting (scheduler _admit_cb): does a
+                    # strictly-better-priority request sit BEHIND this one in
+                    # our FIFO? Recorded at pop, reported at slot registration.
+                    mine = req.get("_priority")
+                    if mine is not None:
+                        req["_downstream_better"] = any(
+                            r.get("_priority", 1 << 30) < mine
+                            for r, _ in self._queue)
                 if not st.begin_admit(b, fut, req):
                     fut.set_result(dict(_EMPTY_RESULT))
                     continue

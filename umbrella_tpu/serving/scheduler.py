@@ -10,6 +10,7 @@ and per-request metrics. Continuous batching across sequences within one engine
 """
 from __future__ import annotations
 
+import functools
 import itertools
 import queue
 import threading
@@ -48,10 +49,25 @@ class Scheduler:
         self._seq = itertools.count()
         self._workers = []
         self._stop = threading.Event()
-        self.metrics: Dict[str, float] = {
+        self.metrics: Dict[str, Any] = {
             "requests": 0, "tokens": 0, "busy_seconds": 0.0,
-            "queue_seconds": 0.0, "expired": 0}
+            "queue_seconds": 0.0, "expired": 0,
+            # Inversions actually OBSERVED at slot-admission time: a request
+            # entered a decode slot while a strictly-better-priority request
+            # was still waiting in this queue. The B+2 batcher lookahead
+            # permits up to 2 of these per better-priority arrival
+            # (make_scheduler docstring); this makes the cost measurable.
+            "priority_inversions": 0,
+            # str(priority) -> {requests, tokens, queue_seconds, expired};
+            # string keys survive the JSON get_metrics round-trip (api/server)
+            "by_priority": {}}
         self._metrics_lock = threading.Lock()
+
+    def _priority_bucket(self, priority: int) -> Dict[str, float]:
+        b = self.metrics["by_priority"].setdefault(
+            str(priority),
+            {"requests": 0, "tokens": 0, "queue_seconds": 0.0, "expired": 0})
+        return b
 
     def start(self):
         for i, engine in enumerate(self.engines):
@@ -83,10 +99,19 @@ class Scheduler:
                 # to queue_seconds would skew the per-EXECUTED-request mean
                 with self._metrics_lock:
                     self.metrics["expired"] += 1
+                    self._priority_bucket(item.priority)["expired"] += 1
                 item.future.set_exception(DeadlineExpired(
                     f"queued {wait:.2f}s > deadline {item.deadline_s:.2f}s"))
                 continue
             t0 = time.time()
+            if isinstance(engine, BatcherBackend):
+                # admission-time inversion accounting: the batcher reports back
+                # through this callback the moment the request enters a slot,
+                # with whether a better-priority request sat behind it in the
+                # batcher's own FIFO; _priority lets the batcher compare
+                item.request["_priority"] = item.priority
+                item.request["_admit_cb"] = functools.partial(
+                    self._on_slot_admission, item.priority)
             err = None
             try:
                 if item.stream_cb is not None:
@@ -110,10 +135,37 @@ class Scheduler:
                 self.metrics["tokens"] += ntok
                 self.metrics["busy_seconds"] += time.time() - t0
                 self.metrics["queue_seconds"] += wait
+                b = self._priority_bucket(item.priority)
+                b["requests"] += 1
+                b["tokens"] += ntok
+                b["queue_seconds"] += wait
             if err is None:
                 item.future.set_result(result)
             else:
                 item.future.set_exception(err)
+
+    def _on_slot_admission(self, priority: int, downstream_better: bool = False):
+        """A request of `priority` just entered a decode slot. It's an observed
+        inversion if a strictly-better-priority request was still waiting —
+        either behind it in the batcher's FIFO (`downstream_better`, computed
+        by ContinuousBatcher._loop at pop time) or here in the scheduler queue
+        (no free worker yet)."""
+        if not downstream_better:
+            with self._q.mutex:
+                waiting = [i.priority for i in self._q.queue]
+            if not waiting or min(waiting) >= priority:
+                return
+        with self._metrics_lock:
+            self.metrics["priority_inversions"] += 1
+
+    def snapshot_metrics(self) -> dict:
+        """Consistent copy of the metrics (by_priority deep-copied) — the
+        server serializes this to JSON while workers keep mutating."""
+        with self._metrics_lock:
+            out = dict(self.metrics)
+            out["by_priority"] = {k: dict(v)
+                                  for k, v in self.metrics["by_priority"].items()}
+        return out
 
     def shutdown(self, wait: bool = True):
         self._stop.set()
