@@ -34,6 +34,11 @@ class ModelConfig:
     rope_scaling: Optional[dict] = None  # HF llama3-style dict or None
     model_type: str = "llama"
 
+    # MoE (Mixtral-style) extras — the reference is dense-MLP only (SURVEY §2);
+    # these drive the TPU-native expert-parallel family (models/moe.py)
+    num_local_experts: Optional[int] = None
+    num_experts_per_tok: int = 2
+
     # Gemma2 extras (reference gemma.py:36-37,87-94,145-146)
     attn_logit_softcapping: Optional[float] = None
     final_logit_softcapping: Optional[float] = None

@@ -50,12 +50,15 @@ _KNOWN_FAMILIES = {
                 "stelterlab/Mistral-Small-24B-Instruct-2501-AWQ",
                 "PyrTools/Ministral-8B-Instruct-2410-AWQ"],
     "gemma2": ["google/gemma-2"],
+    "moe": ["mistralai/Mixtral"],
 }
 
 
 def resolve_family(model_name: str, cfg: Optional[ModelConfig] = None) -> str:
     if cfg is not None and cfg.model_type:
         mt = cfg.model_type.lower()
+        if "mixtral" in mt or (cfg.num_local_experts or 0) > 0:
+            return "moe"
         if "gemma2" in mt:
             return "gemma2"
         if "qwen" in mt:
@@ -102,6 +105,13 @@ class ModelRuntime:
 
             self.gemma_args = GemmaStaticArgs.from_config(cfg, n_layers=n_layers)
             self._forward = gemma2_forward
+        elif family == "moe":
+            import functools
+
+            from .moe import moe_decode_forward
+
+            self._forward = functools.partial(
+                moe_decode_forward, top_k=cfg.num_experts_per_tok)
         else:
             self._forward = llama_forward
 
@@ -184,7 +194,11 @@ class AutoModelLM:
                 model_name, cfg, max_length=max_length, dtype=dtype, family=family,
                 n_layers=n_layers, num_cache_layers=num_cache_layers,
             )
-        if family == "gemma2":
+        if family == "moe":
+            from .moe import load_moe_params
+
+            params = load_moe_params(model_name, cfg, dtype, n_layers=n_layers)
+        elif family == "gemma2":
             from .gemma import load_gemma_params
 
             params = load_gemma_params(model_name, cfg, max_length, dtype, n_layers=n_layers)

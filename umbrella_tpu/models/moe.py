@@ -199,6 +199,70 @@ def moe_decode_forward(params: dict, args: StaticModelArgs, kv, input_ids,
     return lm_head_logits(params, hidden), kv
 
 
+def load_moe_params(path: str, cfg: ModelConfig, dtype=jnp.float32,
+                    n_layers=None) -> dict:
+    """HF Mixtral-format checkpoint dir -> stacked MoE pytree.
+
+    HF stores per-expert linears as `model.layers.{i}.block_sparse_moe.experts
+    .{e}.w{1,2,3}.weight` ([out, in]) and the router as `...block_sparse_moe.
+    gate.weight` [E, H]; here they stack to [layer, E, in, out] / [layer, H, E]
+    so `lax.scan` + the dense-dispatch einsums see one static pytree. The
+    reference has no MoE path at all (SURVEY §2: dense-MLP only) — this is the
+    config-reachable serving entry for the TPU-native expert-parallel family."""
+    import numpy as np
+
+    from .weights import _load_state_dict_np, _to_jnp, trim_vocab_rows
+
+    sd = _load_state_dict_np(path)
+    n = n_layers if n_layers is not None else cfg.num_hidden_layers
+    E = cfg.num_local_experts
+    assert E, "MoE checkpoint requires num_local_experts in config.json"
+    P_ = "model."
+
+    def get(name):
+        a = sd[name]
+        if a.dtype == np.float16 or str(a.dtype) == "bfloat16":
+            a = a.astype(np.float32)
+        return a
+
+    def stack_linear(fmt):
+        return _to_jnp(np.stack([get(fmt.format(i)).T for i in range(n)]), dtype)
+
+    def stack_vec(fmt):
+        return _to_jnp(np.stack([get(fmt.format(i)) for i in range(n)]), dtype)
+
+    def stack_experts(w_name):
+        # [layer, E, in, out] from per-expert [out, in]
+        return _to_jnp(np.stack([
+            np.stack([get(P_ + f"layers.{i}.block_sparse_moe.experts.{e}."
+                               f"{w_name}.weight").T for e in range(E)])
+            for i in range(n)]), dtype)
+
+    layers = {
+        "input_norm": stack_vec(P_ + "layers.{}.input_layernorm.weight"),
+        "post_norm": stack_vec(P_ + "layers.{}.post_attention_layernorm.weight"),
+        "wq": stack_linear(P_ + "layers.{}.self_attn.q_proj.weight"),
+        "wk": stack_linear(P_ + "layers.{}.self_attn.k_proj.weight"),
+        "wv": stack_linear(P_ + "layers.{}.self_attn.v_proj.weight"),
+        "wo": stack_linear(P_ + "layers.{}.self_attn.o_proj.weight"),
+        "router": stack_linear(P_ + "layers.{}.block_sparse_moe.gate.weight"),
+        "expert_gate": stack_experts("w1"),
+        "expert_down": stack_experts("w2"),
+        "expert_up": stack_experts("w3"),
+    }
+    params = {
+        "embed": _to_jnp(trim_vocab_rows(get(P_ + "embed_tokens.weight"),
+                                         cfg.vocab_size), dtype),
+        "final_norm": _to_jnp(get(P_ + "norm.weight"), dtype),
+        "layers": layers,
+        **rope_params(cfg),
+    }
+    if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
+        params["lm_head"] = _to_jnp(
+            trim_vocab_rows(get("lm_head.weight"), cfg.vocab_size).T, dtype)
+    return params
+
+
 def moe_runtime(cfg: ModelConfig, params: dict, max_length: int,
                 dtype=jnp.float32, top_k: int = 2):
     """ModelRuntime serving the MoE family (drop-in for the speculation engines)."""

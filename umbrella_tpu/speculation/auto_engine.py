@@ -30,9 +30,11 @@ _COMMON_KEYS = frozenset({
 
 _ENGINE_CONFIG_KEYS = {
     "static": _COMMON_KEYS | _MODEL_KEYS | _APP_KEYS | {
-        "growmap_path", "growmap", "tensor_parallel", "pipeline_parallel"},
+        "growmap_path", "growmap", "tensor_parallel", "pipeline_parallel",
+        "expert_parallel"},
     "dynamic": _COMMON_KEYS | _MODEL_KEYS | _APP_KEYS | {
-        "width", "num_beams", "depth", "tensor_parallel", "pipeline_parallel"},
+        "width", "num_beams", "depth", "tensor_parallel", "pipeline_parallel",
+        "expert_parallel"},
     # batched: no offload (resident models only), no pipeline_parallel (both are
     # ALSO rejected loudly by BatchedStaticEngine.__init__ — listed here so the
     # error names them as unsupported-for-this-engine rather than unknown)

@@ -66,6 +66,11 @@ class SpecEngineBase(BaseEngine):
         # 'pipe' mesh (per-stage KV, ppermute hops — parallel/pipeline.py). The
         # capacity axis for models whose W4 weights exceed one chip's HBM.
         self.pipeline_parallel = int(kwargs.pop("pipeline_parallel", 0) or 0)
+        # expert_parallel: N shards a MoE TARGET's stacked expert tensors over an
+        # N-device 'expert' mesh (models/moe.shard_runtime_ep — GSPMD partitions
+        # the per-expert einsums and inserts one psum for the combine). The
+        # config-reachable serving axis for the MoE family the reference lacks.
+        self.expert_parallel = int(kwargs.pop("expert_parallel", 0) or 0)
         self.mesh = None
         self.config = kwargs
 
@@ -81,8 +86,10 @@ class SpecEngineBase(BaseEngine):
     def _init_models_and_state(self):
         tp = self.tensor_parallel
         pp = self.pipeline_parallel
-        assert not (tp > 1 and pp > 1), (
-            "tensor_parallel and pipeline_parallel are mutually exclusive for now")
+        ep = self.expert_parallel
+        assert sum(int(x > 1) for x in (tp, pp, ep)) <= 1, (
+            "tensor_parallel / pipeline_parallel / expert_parallel are mutually "
+            "exclusive for now")
         if tp > 1:
             from ..parallel.mesh import make_mesh
 
@@ -108,8 +115,20 @@ class SpecEngineBase(BaseEngine):
                 "pipeline_parallel stages must live on one host (ppermute rides "
                 "ICI); use tensor_parallel + data-parallel hosts for multi-host")
             self.mesh = Mesh(np.asarray(devices), ("pipe",))
+        elif ep > 1:
+            from jax.sharding import Mesh
+
+            assert not self.config.get("offload", False), (
+                "expert_parallel and offload are mutually exclusive: EP shards "
+                "resident expert tensors over the mesh")
+            devices = jax.devices()
+            assert len(devices) >= ep, f"need {ep} devices, have {len(devices)}"
+            self.mesh = Mesh(np.asarray(devices[:ep]), ("expert",))
         self.draft_model = self._load_model(self.draft_model_name, offload=False)
         qd = self.config.get("quantize_draft", False)
+        if qd and self.draft_model.family == "moe":
+            raise ValueError("quantize_draft is not supported for MoE drafts "
+                             "(dense-dispatch expert tensors stay bf16/fp32)")
         if qd == "int4f":
             # Int4F-requantize the draft (factorized-scale W4, full-K int8-MXU
             # dots at 2x the bf16 rate — quantization/int4f.py). Converts dense
@@ -138,7 +157,26 @@ class SpecEngineBase(BaseEngine):
         if self.mesh is not None:
             from ..parallel.mesh import shard_runtime
 
-            if pp > 1:
+            if ep > 1:
+                from ..models.moe import shard_runtime_ep
+                from ..parallel.mesh import replicate
+
+                assert self.target_model.family == "moe", (
+                    "expert_parallel requires an MoE (mixtral-family) target; "
+                    f"got family '{self.target_model.family}'")
+                E = self.target_model.cfg.num_local_experts or 0
+                assert E % ep == 0, (
+                    f"num_local_experts={E} must divide expert_parallel={ep}")
+                if not getattr(self.target_model, "_mesh", None):
+                    shard_runtime_ep(self.target_model, self.mesh)
+                if not getattr(self.draft_model, "_mesh", None):
+                    if self.draft_model.family == "moe":
+                        shard_runtime_ep(self.draft_model, self.mesh)
+                    else:
+                        self.draft_model.params = replicate(
+                            self.draft_model.params, self.mesh)
+                        self.draft_model._mesh = self.mesh
+            elif pp > 1:
                 from ..parallel.mesh import replicate
                 from ..parallel.pipeline import shard_runtime_pp
 
