@@ -200,6 +200,148 @@ def batched_llama_forward(
     return logits, kv
 
 
+def _gemma_sliding_mask(attn_mask, position_ids, window: int):
+    """Per-slot sliding constraint in slot space (committed slot == position;
+    see gemma.gemma2_forward). attn_mask [..., S, L], position_ids [..., S]."""
+    cols = lax.broadcasted_iota(jnp.int32, attn_mask.shape, attn_mask.ndim - 1)
+    return attn_mask & (cols > position_ids[..., None] - max(window, 1))
+
+
+def batched_gemma2_forward(
+    params: dict,
+    args,                       # GemmaStaticArgs
+    kv: BatchedKVCache,
+    input_ids: jnp.ndarray,     # [B, S]
+    position_ids: jnp.ndarray,  # [B, S]
+    attn_mask: jnp.ndarray,     # [B, S, L] bool
+    write_offsets: jnp.ndarray,  # [B]
+) -> Tuple[jnp.ndarray, BatchedKVCache]:
+    """All-slots Gemma2 decode forward (arch deltas vs batched_llama_forward:
+    4 (1+w)-norms, sqrt(H) embed scale, attn/final softcaps, even-layer sliding
+    window, gelu-tanh MLP — reference `umbrella/models/gemma.py:36-159`)."""
+    from ..ops.norms import gemma_rms_norm
+
+    B, S = input_ids.shape
+    H, D, KVH = args.num_heads, args.head_dim, args.num_kv_heads
+    inv_freq, rope_scale = params["rope_inv_freq"], params["rope_scale"]
+
+    dt = params["final_norm"].dtype
+    hidden = embed_lookup(params["embed"], input_ids.reshape(-1), dt) \
+        .reshape(B, S, -1)
+    hidden = hidden * jnp.asarray(args.hidden_size ** 0.5, hidden.dtype)
+    sliding_mask = _gemma_sliding_mask(attn_mask, position_ids,
+                                       args.sliding_window)
+
+    def body(carry, xs):
+        hidden, kv = carry
+        layer_idx, is_sliding, lw = xs
+        mask = jnp.where(is_sliding, sliding_mask, attn_mask)
+        residual = hidden
+        x = gemma_rms_norm(hidden, lw["input_norm"], args.rms_eps)
+        q = _linear(x, lw["wq"]).reshape(B, S, H, D)
+        k = _linear(x, lw["wk"]).reshape(B, S, KVH, D)
+        v = _linear(x, lw["wv"]).reshape(B, S, KVH, D)
+        q, k = jax.vmap(lambda qq, kk, pp: apply_rope(
+            qq, kk, inv_freq, rope_scale, pp))(q, k, position_ids)
+        kv = update_layer_batched(kv, layer_idx, k, v, write_offsets)
+        out = attend_batched(
+            q, kv.k, kv.v, mask, kv_limits=write_offsets + S,
+            layer_idx=layer_idx, scale=args.attn_scale,
+            logits_soft_cap=args.attn_softcap,
+            k_scale=kv.k_scale, v_scale=kv.v_scale).reshape(B, S, H * D)
+        out = _linear(out, lw["wo"])
+        out = gemma_rms_norm(out, lw["post_attn_norm"], args.rms_eps)
+        hidden = residual + out
+        residual = hidden
+        x = gemma_rms_norm(hidden, lw["pre_ff_norm"], args.rms_eps)
+        gate = jax.nn.gelu(_linear(x, lw["gate"]), approximate=True)
+        mlp = _linear(gate * _linear(x, lw["up"]), lw["down"])
+        mlp = gemma_rms_norm(mlp, lw["post_ff_norm"], args.rms_eps)
+        return (residual + mlp, kv), None
+
+    layer_ids = lax.iota(jnp.int32, args.n_layers)
+    (hidden, kv), _ = lax.scan(
+        body, (hidden, kv), (layer_ids, (layer_ids % 2) == 0, params["layers"]))
+
+    hidden = gemma_rms_norm(hidden, params["final_norm"], args.rms_eps)
+    head = params.get("lm_head")
+    if head is None:
+        logits = jnp.dot(hidden, params["embed"].T,
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.dot(hidden, head, preferred_element_type=jnp.float32)
+    logits = logits.astype(jnp.float32)
+    if args.final_softcap > 0:
+        logits = args.final_softcap * jnp.tanh(logits / args.final_softcap)
+    return logits, kv
+
+
+def slot_gemma2_forward(
+    params: dict,
+    args,                       # GemmaStaticArgs
+    kv: BatchedKVCache,
+    input_ids: jnp.ndarray,     # [S]
+    position_ids: jnp.ndarray,  # [S]
+    attn_mask: jnp.ndarray,     # [S, L] bool
+    slot,                       # traced scalar slot id
+    write_offset,               # traced scalar
+) -> Tuple[jnp.ndarray, BatchedKVCache]:
+    """Single-slot Gemma2 forward (prefill path of the batched engine)."""
+    from ..ops.norms import gemma_rms_norm
+
+    S = input_ids.shape[0]
+    H, D, KVH = args.num_heads, args.head_dim, args.num_kv_heads
+    inv_freq, rope_scale = params["rope_inv_freq"], params["rope_scale"]
+
+    hidden = embed_lookup(params["embed"], input_ids, params["final_norm"].dtype)
+    hidden = hidden * jnp.asarray(args.hidden_size ** 0.5, hidden.dtype)
+    sliding_mask = _gemma_sliding_mask(attn_mask, position_ids,
+                                       args.sliding_window)
+
+    def body(carry, xs):
+        hidden, kv = carry
+        layer_idx, is_sliding, lw = xs
+        mask = jnp.where(is_sliding, sliding_mask, attn_mask)
+        residual = hidden
+        x = gemma_rms_norm(hidden, lw["input_norm"], args.rms_eps)
+        q = _linear(x, lw["wq"]).reshape(S, H, D)
+        k = _linear(x, lw["wk"]).reshape(S, KVH, D)
+        v = _linear(x, lw["wv"]).reshape(S, KVH, D)
+        q, k = apply_rope(q, k, inv_freq, rope_scale, position_ids)
+        kv = update_layer_slot(kv, layer_idx, k, v, slot, write_offset)
+        out = attend_batched(
+            q[None], kv.k, kv.v, mask[None],
+            kv_limits=jnp.asarray(write_offset + S, jnp.int32).reshape(1),
+            layer_idx=layer_idx, slots=jnp.asarray(slot, jnp.int32).reshape(1),
+            scale=args.attn_scale, logits_soft_cap=args.attn_softcap,
+            k_scale=kv.k_scale, v_scale=kv.v_scale)[0].reshape(S, H * D)
+        out = _linear(out, lw["wo"])
+        out = gemma_rms_norm(out, lw["post_attn_norm"], args.rms_eps)
+        hidden = residual + out
+        residual = hidden
+        x = gemma_rms_norm(hidden, lw["pre_ff_norm"], args.rms_eps)
+        gate = jax.nn.gelu(_linear(x, lw["gate"]), approximate=True)
+        mlp = _linear(gate * _linear(x, lw["up"]), lw["down"])
+        mlp = gemma_rms_norm(mlp, lw["post_ff_norm"], args.rms_eps)
+        return (residual + mlp, kv), None
+
+    layer_ids = lax.iota(jnp.int32, args.n_layers)
+    (hidden, kv), _ = lax.scan(
+        body, (hidden, kv), (layer_ids, (layer_ids % 2) == 0, params["layers"]))
+
+    hidden = gemma_rms_norm(hidden, params["final_norm"], args.rms_eps)
+    head = params.get("lm_head")
+    if head is None:
+        logits = jnp.dot(hidden, params["embed"].T,
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.dot(hidden, head, preferred_element_type=jnp.float32)
+    logits = logits.astype(jnp.float32)
+    if args.final_softcap > 0:
+        logits = args.final_softcap * jnp.tanh(logits / args.final_softcap)
+    return logits, kv
+
+
 def slot_llama_forward(
     params: dict,
     args: StaticModelArgs,

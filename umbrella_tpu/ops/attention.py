@@ -84,6 +84,7 @@ def attend_batched(
     scale: Optional[float] = None,
     k_scale: Optional[jnp.ndarray] = None,  # [n, Bc, KVH, L, 1] — int8 KV mode
     v_scale: Optional[jnp.ndarray] = None,
+    logits_soft_cap: float = 0.0,  # Gemma2 pre-softmax tanh cap
 ) -> jnp.ndarray:
     """Multi-slot attention over a batched layered KV cache (continuous-batching
     engine). Flash path: per-slot kv_limit DMA clamp + in-kernel layer indexing
@@ -100,7 +101,8 @@ def attend_batched(
         block_k = 512 if S * groups <= 512 else 256
         return attend_flash_batched(
             q, k_cache, v_cache, mask, kv_limits, layer_idx, slots=slots,
-            scale=scale, block_k=block_k, k_scale=k_scale, v_scale=v_scale)
+            scale=scale, soft_cap=logits_soft_cap, block_k=block_k,
+            k_scale=k_scale, v_scale=v_scale)
 
     kl = lax.dynamic_index_in_dim(k_cache, layer_idx, axis=0, keepdims=False)
     vl = lax.dynamic_index_in_dim(v_cache, layer_idx, axis=0, keepdims=False)
@@ -128,6 +130,8 @@ def attend_batched(
     qg = q.reshape(B, S, KVH, groups, D)
     scores = jnp.einsum("bskgd,bkld->bkgsl", qg, kl,
                         preferred_element_type=jnp.float32) * scale
+    if logits_soft_cap and logits_soft_cap > 0.0:
+        scores = logits_soft_cap * jnp.tanh(scores / logits_soft_cap)
     scores = jnp.where(mask[:, None, None, :, :], scores,
                        jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(scores, axis=-1).astype(vl.dtype)

@@ -123,9 +123,13 @@ class BatchedStaticEngine:
         assert self.draft_model.supports_fused_phases \
             and self.target_model.supports_fused_phases, \
             "batched engine requires resident (non-offload) models"
-        assert self.draft_model.family != "gemma2" \
-            and self.target_model.family != "gemma2", \
-            "batched engine currently covers the llama-family forward"
+        if "gemma2" in (self.draft_model.family, self.target_model.family):
+            # gemma2 rides its own batched forwards (models/batched.py gemma
+            # pair); TP composition only exists for the llama layouts
+            assert self.tensor_parallel <= 1, \
+                "batched gemma2 does not compose with tensor_parallel"
+        if self.quantize_draft and self.draft_model.family == "gemma2":
+            raise ValueError("quantize_draft is not supported for gemma2 drafts")
         if self.quantize_draft == "int4f":
             from ..quantization.int4f import (has_int4f_layers,
                                               quantize_runtime_int4f)
@@ -203,6 +207,21 @@ class BatchedStaticEngine:
             from ..parallel.mesh import tp_batched_forwards
 
             return tp_batched_forwards(runtime)
+        if runtime.family == "gemma2":
+            from ..models.batched import (batched_gemma2_forward,
+                                          slot_gemma2_forward)
+
+            gargs = runtime.gemma_args
+
+            def batched_fwd(params, kv, ids, pos, mask, offsets):
+                return batched_gemma2_forward(params, gargs, kv, ids, pos, mask,
+                                              offsets)
+
+            def slot_fwd(params, kv, ids, pos, mask, slot, offset):
+                return slot_gemma2_forward(params, gargs, kv, ids, pos, mask,
+                                           slot, offset)
+
+            return batched_fwd, slot_fwd
         args = runtime.args
 
         def batched_fwd(params, kv, ids, pos, mask, offsets):
