@@ -11,13 +11,15 @@ completion = 195.3 tok/s (`README.md:146-150`, BASELINE.md). The fp16-8B MT-Benc
 row (100.7 tok/s, RTX 4090) is reported alongside in detail; an fp16 8B does not
 fit one v5e (16 GB) so the AWQ row is the honest hardware-for-hardware comparison.
 
-Secondary rows (detail): a stochastic (T=0.6 top-p/top-k) run of the primary,
-the round-1/2 1B-shape acceptance-floor row (labeled; a strict lower bound),
-8B-AWQ with a separate 500M W4 draft (structural step time at the acceptance
-floor), continuous batching aggregate at B=8 (1B) and at the 8B primary
-composition with real acceptance, dynamic-engine step, and the 70B-AWQ
-slope/TP/PP/offload extrapolations incl. a TP4 sharded continuous batching
-projection (north-star config[4]).
+Secondary rows (detail): a stochastic (T=0.6 top-p/top-k) run of the primary
+with the shared lm_head sharpened to trained-model concentration (the measured
+top-1-prob stat rides in the row — see the in-code sweep), the round-1/2
+1B-shape acceptance-floor row (labeled; a strict lower bound), 8B-AWQ with a
+separate 500M W4 draft (structural step time at the acceptance floor),
+continuous batching aggregate at B=8 (1B) and at the 8B primary composition
+with real acceptance (B=8 bf16-KV control + B=16 int8-KV full-context serving
+row), dynamic-engine step, and the 70B-AWQ slope/TP/PP/offload extrapolations
+incl. a TP4 sharded continuous batching projection (north-star config[4]).
 """
 import json
 import sys
@@ -134,25 +136,58 @@ def main():
     }
 
     # stochastic row (the reference reports stochastic AND greedy for every
-    # config). The compact top-k-domain sampler (ops/sampling) keeps the
-    # stochastic premium at ~1 ms/step — the previous full-vocab chain cost
-    # +26 ms/step at this shape (51.5 vs 25.4 ms, v5e 2026-08). Acceptance is
-    # lower than greedy only because random-weight distributions are flat;
-    # trained-model stochastic acceptance sits near greedy (reference rows).
-    eng.update_generation_args(temperature=0.6, topp=0.9)
-    eng.reset()
-    assert eng._prefill(prompt)
-    eng._decode_fused(8)  # compile the stochastic verify
-    dec_s, dt_s, steps_s = _time_decode(eng, jax, prompt, 256)
+    # config; its pattern is stochastic ~= greedy). The compact top-k-domain
+    # sampler (ops/sampling) keeps the stochastic premium at ~1 ms/step — the
+    # previous full-vocab chain cost +26 ms/step at this shape (51.5 vs 25.4 ms,
+    # v5e 2026-08). ACCEPTANCE REALISM (VERDICT r3 item 7): random-weight logits
+    # are FLAT — measured top-1 prob at T=0.6 over the prompt rows is 0.012
+    # (accept 2.55 in round 3), a distribution no trained model produces, so a
+    # flat-row stochastic number is a sampler-independent artifact. The damped
+    # emulation is extended here by sharpening the SHARED W4 lm_head's
+    # per-column scale factor by SHARPEN (argmax-invariant: the greedy row
+    # above is untouched by construction; draft and target share the head so
+    # both distributions concentrate coherently). Swept on v5e 2026-08:
+    # alpha 1/2/4/6/8 -> top-1 prob 0.012/0.236/0.608/0.742/0.807, accept
+    # 1.69/2.77/3.81/4.81/4.89 (194 tok/s at alpha=6 vs ~238 greedy) —
+    # SHARPEN=6 lands the measured concentration in the trained-8B band (top-1
+    # at T=0.6 ~0.6-0.8); the stat is REPORTED in the row so the acceptance
+    # gap vs greedy is explained by measurement, reproducing the reference's
+    # stochastic ~= greedy pattern (BASELINE.md rows).
+    del eng
+    import gc
+
+    gc.collect()
+    SHARPEN = 6.0
+    head8 = target8.params["lm_head"]
+    params_sh = dict(target8.params, lm_head=head8._replace(b=head8.b * SHARPEN))
+    target_sh = ModelRuntime(awq_cfg, params_sh, max_len, dtype=dtype)
+    draft_sh = early_exit_runtime(target_sh, exit_layer=EXIT)
+    from umbrella_tpu.ops.masks import causal_mask_rows
+
+    lg, _ = jax.jit(target_sh.forward)(
+        params_sh, target_sh.init_kv(), jnp.asarray(prompt),
+        jnp.arange(len(prompt)), causal_mask_rows(0, len(prompt), max_len), 0)
+    p_top = np.asarray(jax.nn.softmax(
+        jnp.asarray(lg, jnp.float32) / 0.6, axis=-1).max(-1))
+    eng_s = StaticEngine(
+        draft_model_name=draft_sh, target_model_name=target_sh, dtype=dtype,
+        growmap=gm_awq, max_length=max_len, eos_token_ids=[-100],
+        temperature=0.6, topp=0.9)
+    eng_s.initialize()
+    assert eng_s._prefill(prompt)
+    eng_s._decode_fused(8)  # compile the stochastic verify
+    dec_s, dt_s, steps_s = _time_decode(eng_s, jax, prompt, 256)
     result_detail.update({
         "stochastic_tokens_per_sec": round(dec_s / dt_s, 2),
         "stochastic_decode_step_ms": round(1000 * dt_s / steps_s, 2),
         "stochastic_avg_accept": round(dec_s / steps_s, 2),
-        "stochastic_setup": "T=0.6 topp=0.9 topk=32, same models/tree",
+        "stochastic_target_top1_prob_t06": round(float(p_top.mean()), 3),
+        "stochastic_setup": f"T=0.6 topp=0.9 topk=32, same models/tree, shared "
+                            f"lm_head sharpened x{SHARPEN:g} (argmax-invariant; "
+                            "emulates trained-model concentration — see bench "
+                            "docstring sweep)",
     })
-    del eng
-    import gc
-
+    del eng_s, target_sh, draft_sh
     gc.collect()
 
     # ---- secondary: 1B-shape + 68M-shape draft at the ACCEPTANCE FLOOR ------
@@ -361,6 +396,42 @@ def main():
         gc.collect()
     except Exception as e:
         b8_detail = {f"awq8b_batched{B8}_error": f"{type(e).__name__}: {e}"[:200]}
+
+    # ---- secondary: B=16 int8-KV serving at FULL context (VERDICT r3 item 5) -
+    # bf16 KV capped B=16 at max_len 1024 (notes: 766 tok/s but short context);
+    # kv_dtype="int8" halves KV HBM (in-kernel dequant, tested incl. TP), so
+    # B=16 x 3x4 fits the primary's max_len 2048 — the best aggregate serving
+    # row for the flagship class.
+    B16 = 16
+    try:
+        from umbrella_tpu.serving.batched_engine import BatchedStaticEngine
+
+        gm_b16 = growmap_from_spec(3, 4)
+        beng16 = BatchedStaticEngine(
+            draft_model_name=draft_ee, target_model_name=target8,
+            batch_size=B16, dtype=dtype, growmap=gm_b16, max_length=max_len,
+            eos_token_ids=[-100], segment_steps=8, kv_dtype="int8")
+        beng16.initialize()
+        reqs16 = [dict(input_ids=rng.integers(0, 120000, size=128).astype(
+            np.int32).tolist(), max_new_tokens=160) for _ in range(2 * B16)]
+        beng16.run(reqs16[:B16])  # warmup compile
+        tb16 = time.time()
+        outs16 = beng16.run(reqs16)
+        dtb16 = time.time() - tb16
+        total16 = sum(len(o["generated_tokens"]) for o in outs16)
+        acc16 = [o["avg_accept_tokens"] for o in outs16 if o["generated_tokens"]]
+        b8_detail.update({
+            f"awq8b_batched{B16}_int8kv_tokens_per_sec": round(total16 / dtb16, 2),
+            f"awq8b_batched{B16}_int8kv_avg_accept": round(float(np.mean(acc16)), 2),
+            f"awq8b_batched{B16}_int8kv_setup": f"{B16} slots of the primary "
+            f"8B-AWQ + early-exit-draft setup, int8 KV, 3x4 tree, max_len "
+            f"{max_len}, {2*B16} requests",
+        })
+        del beng16
+        gc.collect()
+    except Exception as e:
+        b8_detail[f"awq8b_batched{B16}_int8kv_error"] = \
+            f"{type(e).__name__}: {e}"[:200]
 
     # ---- secondary: 70B-AWQ-shape per-layer slope + TP/PP/offload projection -
     # The north-star workload (reference README 70B rows, L40 = 37 tok/s). One
