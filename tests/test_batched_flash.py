@@ -103,8 +103,8 @@ def test_batched_flash_int8_kv():
     q = _rand((B, S, H, D), rng)
     kq = rng.integers(-127, 128, (n_layers, B, KVH, L, D)).astype(np.int8)
     vq = rng.integers(-127, 128, (n_layers, B, KVH, L, D)).astype(np.int8)
-    ks = rng.uniform(0.005, 0.02, (n_layers, B, KVH, L, 1)).astype(np.float32)
-    vs = rng.uniform(0.005, 0.02, (n_layers, B, KVH, L, 1)).astype(np.float32)
+    ks = rng.uniform(0.005, 0.02, (n_layers, B, KVH, L)).astype(np.float32)
+    vs = rng.uniform(0.005, 0.02, (n_layers, B, KVH, L)).astype(np.float32)
     limits = np.asarray([100, 256], np.int32)
     mask = rng.random((B, S, L)) > 0.3
     for b in range(B):
@@ -115,6 +115,6 @@ def test_batched_flash_int8_kv():
         jnp.asarray(q), jnp.asarray(kq), jnp.asarray(vq), jnp.asarray(mask),
         jnp.asarray(limits), jnp.int32(layer), block_k=128, interpret=True,
         k_scale=jnp.asarray(ks), v_scale=jnp.asarray(vs))
-    ref = _dense_oracle(q, (kq[layer].astype(np.float32) * ks[layer]),
-                        (vq[layer].astype(np.float32) * vs[layer]), mask)
+    ref = _dense_oracle(q, (kq[layer].astype(np.float32) * ks[layer][..., None]),
+                        (vq[layer].astype(np.float32) * vs[layer][..., None]), mask)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)

@@ -34,7 +34,9 @@ from .llama import (StaticModelArgs, _attn_projections, _linear,
 class BatchedKVCache(NamedTuple):
     k: jnp.ndarray  # [n_layers, B, kv_heads, L, head_dim] (bf16/f32, int8 when quantized)
     v: jnp.ndarray
-    k_scale: Optional[jnp.ndarray] = None  # [n_layers, B, kv_heads, L, 1] — int8 mode
+    # [n_layers, B, kv_heads, L] — int8 mode. No trailing singleton: see
+    # models/kv_cache.KVCache (a [..., L, 1] Pallas input is lane-padded 128x).
+    k_scale: Optional[jnp.ndarray] = None
     v_scale: Optional[jnp.ndarray] = None
 
     @property
@@ -51,7 +53,7 @@ def init_batched_kv(cfg: ModelConfig, batch: int, max_length: int,
     n = num_layers if num_layers is not None else cfg.num_hidden_layers
     shape = (n, batch, cfg.num_key_value_heads, max_length, cfg.resolved_head_dim)
     if dtype in ("int8", jnp.int8):
-        sshape = shape[:-1] + (1,)
+        sshape = shape[:-1]
         return BatchedKVCache(
             k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
             k_scale=jnp.zeros(sshape, jnp.float32),
@@ -72,10 +74,11 @@ def update_layer_batched(kv: BatchedKVCache, layer_idx, k_new, v_new, offsets):
         if kv.quantized:
             kq, kss = _quantize_block(kb)
             vq, vss = _quantize_block(vb)
+            sidx = (layer_idx, b, 0, offsets[b])
             k = lax.dynamic_update_slice(k, kq, idx)
             v = lax.dynamic_update_slice(v, vq, idx)
-            ks = lax.dynamic_update_slice(ks, kss, idx)
-            vs = lax.dynamic_update_slice(vs, vss, idx)
+            ks = lax.dynamic_update_slice(ks, kss, sidx)
+            vs = lax.dynamic_update_slice(vs, vss, sidx)
         else:
             k = lax.dynamic_update_slice(k, kb.astype(k.dtype), idx)
             v = lax.dynamic_update_slice(v, vb.astype(v.dtype), idx)
@@ -92,11 +95,12 @@ def update_layer_slot(kv: BatchedKVCache, layer_idx, k_new, v_new, slot, offset)
     if kv.quantized:
         kq, ks = _quantize_block(kb)
         vq, vs = _quantize_block(vb)
+        sidx = (layer_idx, slot, 0, offset)
         return BatchedKVCache(
             k=lax.dynamic_update_slice(kv.k, kq, idx),
             v=lax.dynamic_update_slice(kv.v, vq, idx),
-            k_scale=lax.dynamic_update_slice(kv.k_scale, ks, idx),
-            v_scale=lax.dynamic_update_slice(kv.v_scale, vs, idx))
+            k_scale=lax.dynamic_update_slice(kv.k_scale, ks, sidx),
+            v_scale=lax.dynamic_update_slice(kv.v_scale, vs, sidx))
     return BatchedKVCache(
         k=lax.dynamic_update_slice(kv.k, kb.astype(kv.k.dtype), idx),
         v=lax.dynamic_update_slice(kv.v, vb.astype(kv.v.dtype), idx))
@@ -118,6 +122,14 @@ def gather_compact_batched(kv: BatchedKVCache, local_indices, offsets, accept_le
         def compact(buf):
             if buf is None:
                 return None
+            if buf.ndim == 4:  # int8 scales [n_layers, B, KVH, L]
+                window = lax.dynamic_slice(
+                    buf, (0, b, 0, offsets[b]), (n_layers, 1, kvh, tree_size))
+                new = jnp.einsum("ts,lbks->lbkt", sel,
+                                 window.astype(jnp.float32),
+                                 preferred_element_type=jnp.float32)
+                return lax.dynamic_update_slice(buf, new.astype(buf.dtype),
+                                                (0, b, 0, offsets[b]))
             last = buf.shape[-1]
             window = lax.dynamic_slice(
                 buf, (0, b, 0, offsets[b], 0), (n_layers, 1, kvh, tree_size, last))

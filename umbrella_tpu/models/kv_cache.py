@@ -24,7 +24,11 @@ from ..config import ModelConfig
 class KVCache(NamedTuple):
     k: jnp.ndarray  # [layers, kv_heads, max_len, head_dim] (bf16/f32, or int8 when quantized)
     v: jnp.ndarray
-    k_scale: jnp.ndarray | None = None  # [layers, kv_heads, max_len, 1] — int8 mode only
+    # [layers, kv_heads, max_len] — int8 mode only. NO trailing singleton dim:
+    # a [..., L, 1] layout is padded 128x in lane tiles when materialized
+    # uncompressed for a Pallas call input (measured: two 4 GB HLO temps for
+    # 32 MB of scales at B=16, the round-4 B=16-int8 compile OOM).
+    k_scale: jnp.ndarray | None = None
     v_scale: jnp.ndarray | None = None
 
     @property
@@ -37,7 +41,7 @@ def init_kv_cache(cfg: ModelConfig, max_length: int, dtype=jnp.bfloat16,
     n_layers = num_layers if num_layers is not None else cfg.num_hidden_layers
     shape = (n_layers, cfg.num_key_value_heads, max_length, cfg.resolved_head_dim)
     if dtype in ("int8", jnp.int8):
-        sshape = shape[:-1] + (1,)
+        sshape = shape[:-1]
         return KVCache(
             k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
             k_scale=jnp.zeros(sshape, jnp.float32),
@@ -46,12 +50,12 @@ def init_kv_cache(cfg: ModelConfig, max_length: int, dtype=jnp.bfloat16,
 
 
 def _quantize_block(x: jnp.ndarray):
-    """[1, KVH, S, D] fp -> (int8 values, f32 scales [1, KVH, S, 1])."""
+    """[..., S, D] fp -> (int8 values, f32 per-row scales [..., S])."""
     x32 = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
     scale = jnp.maximum(amax / 127.0, 1e-8)
     q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
-    return q, scale
+    return q, scale[..., 0]
 
 
 def update_layer(
@@ -67,11 +71,12 @@ def update_layer(
     if kv.quantized:
         kq, ks = _quantize_block(k_block)
         vq, vs = _quantize_block(v_block)
+        sidx = (layer_idx, 0, offset)
         return KVCache(
             k=lax.dynamic_update_slice(kv.k, kq, idx),
             v=lax.dynamic_update_slice(kv.v, vq, idx),
-            k_scale=lax.dynamic_update_slice(kv.k_scale, ks, idx),
-            v_scale=lax.dynamic_update_slice(kv.v_scale, vs, idx),
+            k_scale=lax.dynamic_update_slice(kv.k_scale, ks, sidx),
+            v_scale=lax.dynamic_update_slice(kv.v_scale, vs, sidx),
         )
     return KVCache(
         k=lax.dynamic_update_slice(kv.k, k_block.astype(kv.k.dtype), idx),
@@ -101,6 +106,14 @@ def gather_compact(
     def compact(buf):
         if buf is None:
             return None
+        if buf.ndim == 3:  # int8 scales [n_layers, KVH, L]
+            n_layers, kvh, _ = buf.shape
+            window = lax.dynamic_slice(
+                buf, (0, 0, offset), (n_layers, kvh, tree_size))
+            new = jnp.einsum("ts,lks->lkt", sel, window.astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+            return lax.dynamic_update_slice(buf, new.astype(buf.dtype),
+                                            (0, 0, offset))
         n_layers, kvh, _, last = buf.shape
         window = lax.dynamic_slice(
             buf, (0, 0, offset, 0), (n_layers, kvh, tree_size, last))

@@ -39,7 +39,7 @@ def attend(
     kv_limit=None,  # scalar upper bound on live kv slots (enables DMA clamping)
     scale: Optional[float] = None,
     logits_soft_cap: float = 0.0,
-    k_scale: Optional[jnp.ndarray] = None,  # [(n,) KVH, L, 1] — int8 KV cache mode
+    k_scale: Optional[jnp.ndarray] = None,  # [(n,) KVH, L] — int8 KV cache mode
     v_scale: Optional[jnp.ndarray] = None,
     layer_idx=None,  # with 4-D caches: the flash kernel indexes the layer itself,
                      # avoiding an XLA dynamic-slice copy of the layer's KV per call
@@ -67,8 +67,8 @@ def attend(
             k_scale = lax.dynamic_index_in_dim(k_scale, layer_idx, axis=0, keepdims=False)
             v_scale = lax.dynamic_index_in_dim(v_scale, layer_idx, axis=0, keepdims=False)
     if k_scale is not None:
-        k_cache = (k_cache.astype(jnp.float32) * k_scale).astype(q.dtype)
-        v_cache = (v_cache.astype(jnp.float32) * v_scale).astype(q.dtype)
+        k_cache = (k_cache.astype(jnp.float32) * k_scale[..., None]).astype(q.dtype)
+        v_cache = (v_cache.astype(jnp.float32) * v_scale[..., None]).astype(q.dtype)
     return attend_dense(q, k_cache, v_cache, mask, scale=scale,
                         logits_soft_cap=logits_soft_cap)
 
@@ -82,7 +82,7 @@ def attend_batched(
     layer_idx,               # scalar layer to attend in
     slots=None,              # [B] cache-slot indirection (prefill); None => 0..B-1
     scale: Optional[float] = None,
-    k_scale: Optional[jnp.ndarray] = None,  # [n, Bc, KVH, L, 1] — int8 KV mode
+    k_scale: Optional[jnp.ndarray] = None,  # [n, Bc, KVH, L] — int8 KV mode
     v_scale: Optional[jnp.ndarray] = None,
     logits_soft_cap: float = 0.0,  # Gemma2 pre-softmax tanh cap
 ) -> jnp.ndarray:
@@ -116,12 +116,12 @@ def attend_batched(
             if buf is None:
                 return None
             return jnp.concatenate([
-                lax.dynamic_slice(buf, (slots[b], 0, 0, 0),
+                lax.dynamic_slice(buf, (slots[b],) + (0,) * (buf.ndim - 1),
                                   (1,) + buf.shape[1:]) for b in range(B)])
         kl, vl, ksl, vsl = take(kl), take(vl), take(ksl), take(vsl)
     if ksl is not None:
-        kl = (kl.astype(jnp.float32) * ksl).astype(q.dtype)
-        vl = (vl.astype(jnp.float32) * vsl).astype(q.dtype)
+        kl = (kl.astype(jnp.float32) * ksl[..., None]).astype(q.dtype)
+        vl = (vl.astype(jnp.float32) * vsl[..., None]).astype(q.dtype)
 
     KVH = kl.shape[1]
     groups = H // KVH

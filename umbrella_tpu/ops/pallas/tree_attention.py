@@ -84,9 +84,16 @@ def _flash_kernel(nb_ref, q_ref, k_ref, v_ref, mask_ref, out_ref,
 def _flash_kernel_q(nb_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref, out_ref,
                     m_ref, l_ref, acc_ref, *, scale: float, soft_cap: float,
                     groups: int, bk: int, layered: bool = False):
-    """int8-KV variant: dequantizes each (bk, D) block in VMEM with its per-slot
-    scales before the flash update — HBM traffic stays int8."""
+    """int8-KV variant. Scales are [bk] LANE vectors (cache layout [..., L] with
+    no trailing 1 — see models/kv_cache.KVCache) applied in score space:
+      s_true[i, j] = (q_i . k_int_j) * ks[j],  out = sum_j p_j * vs[j] * v_int_j
+    — mathematically identical to dequantizing the (bk, D) blocks, lane-aligned
+    (free broadcasts), and the HBM traffic stays int8."""
     j = pl.program_id(1)
+    # scale blocks carry ALL kv heads ([KVH, bk] — a (1, bk) block would
+    # violate the sublane-divisibility rule); pick this head's row with an
+    # iota mask + sublane reduce (KVH rows, trivial)
+    h = pl.program_id(0)
     num_needed = _scalar(nb_ref)
 
     @pl.when(j == 0)
@@ -100,13 +107,19 @@ def _flash_kernel_q(nb_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref, out_r
         q = q_ref[0]  # [SG, D]
         kr = k_ref[0][0] if layered else k_ref[0]
         vr = v_ref[0][0] if layered else v_ref[0]
-        ksr = ks_ref[0][0] if layered else ks_ref[0]
-        vsr = vs_ref[0][0] if layered else vs_ref[0]
-        k = (kr.astype(jnp.int32).astype(jnp.float32) * ksr).astype(q.dtype)
-        v = (vr.astype(jnp.int32).astype(jnp.float32) * vsr).astype(q.dtype)
+
+        def pick(ref):
+            s2 = (ref[0] if layered else ref[:]).astype(jnp.float32)  # [KVH, bk]
+            rows = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 0)
+            return jnp.sum(jnp.where(rows == h, s2, 0.0), axis=0)  # [bk]
+
+        ksr = pick(ks_ref)
+        vsr = pick(vs_ref)
+        k = kr.astype(q.dtype)  # raw int8 values; scale folds into the scores
+        v = vr.astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        s = s * scale
+        s = s * scale * ksr[None, :]
         if soft_cap > 0.0:
             s = soft_cap * jnp.tanh(s / soft_cap)
         mask = mask_ref[:]  # [S, bk] bool
@@ -121,7 +134,7 @@ def _flash_kernel_q(nb_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref, out_r
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            (p * vsr[None, :]).astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_ref[:] = m_new
 
@@ -180,8 +193,12 @@ def _flash_kernel_b(nb_ref, q_ref, k_ref, v_ref, mask_ref, out_ref,
 def _flash_kernel_bq(nb_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref, out_ref,
                      m_ref, l_ref, acc_ref, *, scale: float, soft_cap: float,
                      groups: int, bk: int, batch: int):
-    """Batched int8-KV variant: per-block VMEM dequant (HBM traffic stays int8)."""
+    """Batched int8-KV variant: [bk] lane-vector scales folded into score space
+    (see _flash_kernel_q) — HBM traffic stays int8, no (bk, D) dequant pass."""
     b = pl.program_id(0)
+    # scale blocks carry ALL kv heads ([KVH, bk]); this head's row is selected
+    # in-kernel with an iota mask + sublane reduce
+    h = pl.program_id(1)
     j = pl.program_id(2)
     num_needed = nb_ref[1 + batch + b]
 
@@ -196,13 +213,19 @@ def _flash_kernel_bq(nb_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref, out_
         q = q_ref[...].reshape(q_ref.shape[-2], q_ref.shape[-1])
         kr = k_ref[...].reshape(k_ref.shape[-2], k_ref.shape[-1])
         vr = v_ref[...].reshape(v_ref.shape[-2], v_ref.shape[-1])
-        ksr = ks_ref[...].reshape(ks_ref.shape[-2], ks_ref.shape[-1])
-        vsr = vs_ref[...].reshape(vs_ref.shape[-2], vs_ref.shape[-1])
-        k = (kr.astype(jnp.int32).astype(jnp.float32) * ksr).astype(q.dtype)
-        v = (vr.astype(jnp.int32).astype(jnp.float32) * vsr).astype(q.dtype)
+
+        def pick(ref):
+            s2 = ref[...].reshape(ref.shape[-2], ref.shape[-1]).astype(jnp.float32)
+            rows = jax.lax.broadcasted_iota(jnp.int32, s2.shape, 0)
+            return jnp.sum(jnp.where(rows == h, s2, 0.0), axis=0)  # [bk]
+
+        ksr = pick(ks_ref)
+        vsr = pick(vs_ref)
+        k = kr.astype(q.dtype)  # raw int8 values; scale folds into the scores
+        v = vr.astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        s = s * scale
+        s = s * scale * ksr[None, :]
         if soft_cap > 0.0:
             s = soft_cap * jnp.tanh(s / soft_cap)
         mask = mask_ref[...].reshape(mask_ref.shape[-2], mask_ref.shape[-1])
@@ -217,7 +240,7 @@ def _flash_kernel_bq(nb_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref, out_
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            (p * vsr[None, :]).astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_ref[:] = m_new
 
@@ -241,7 +264,7 @@ def attend_flash_batched(
     soft_cap: float = 0.0,
     block_k: int = 512,
     interpret: bool = False,
-    k_scale: jnp.ndarray | None = None,  # [n_layers, Bc, KVH, L, 1] — int8 KV mode
+    k_scale: jnp.ndarray | None = None,  # [n_layers, Bc, KVH, L] — int8 KV mode
     v_scale: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Multi-slot flash tree-attention over a batched layered KV cache.
@@ -284,9 +307,9 @@ def attend_flash_batched(
                              jnp.minimum(j, _nb(nb, b) - 1), 0),
         memory_space=pltpu.VMEM)
     sc_spec = pl.BlockSpec(
-        (1, 1, 1, bk, 1),
-        lambda b, h, j, nb: (_scalar(nb, 0), _scalar(nb, 1 + b), h,
-                             jnp.minimum(j, _nb(nb, b) - 1), 0),
+        (1, 1, KVH, bk),
+        lambda b, h, j, nb: (_scalar(nb, 0), _scalar(nb, 1 + b), 0,
+                             jnp.minimum(j, _nb(nb, b) - 1)),
         memory_space=pltpu.VMEM)
     mask_spec = pl.BlockSpec(
         (1, S, bk), lambda b, h, j, nb: (b, 0, jnp.minimum(j, _nb(nb, b) - 1)),
@@ -341,7 +364,7 @@ def attend_flash(
     soft_cap: float = 0.0,
     block_k: int = 512,
     interpret: bool = False,
-    k_scale: jnp.ndarray | None = None,  # [(n,) KVH, L, 1] — int8 KV mode
+    k_scale: jnp.ndarray | None = None,  # [(n,) KVH, L] — int8 KV mode
     v_scale: jnp.ndarray | None = None,
     layer_idx=None,  # scalar — index into 4-D caches (avoids an XLA slice copy)
 ) -> jnp.ndarray:
@@ -377,8 +400,8 @@ def attend_flash(
             lambda h, j, nb: (_scalar(nb, 1), h, jnp.minimum(j, _scalar(nb) - 1), 0),
             memory_space=pltpu.VMEM)
         sc_spec = pl.BlockSpec(
-            (1, 1, bk, 1),
-            lambda h, j, nb: (_scalar(nb, 1), h, jnp.minimum(j, _scalar(nb) - 1), 0),
+            (1, KVH, bk),
+            lambda h, j, nb: (_scalar(nb, 1), 0, jnp.minimum(j, _scalar(nb) - 1)),
             memory_space=pltpu.VMEM)
     else:
         kv_spec = pl.BlockSpec(
@@ -386,8 +409,8 @@ def attend_flash(
             lambda h, j, nb: (h, jnp.minimum(j, _scalar(nb) - 1), 0),
             memory_space=pltpu.VMEM)
         sc_spec = pl.BlockSpec(
-            (1, bk, 1),
-            lambda h, j, nb: (h, jnp.minimum(j, _scalar(nb) - 1), 0),
+            (KVH, bk),
+            lambda h, j, nb: (0, jnp.minimum(j, _scalar(nb) - 1)),
             memory_space=pltpu.VMEM)
     mask_spec = pl.BlockSpec((S, bk), lambda h, j, nb: (0, jnp.minimum(j, _scalar(nb) - 1)),
                              memory_space=pltpu.VMEM)

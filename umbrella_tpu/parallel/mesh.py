@@ -195,7 +195,7 @@ def shard_runtime(runtime, mesh: Mesh, replicated: bool = False):
 
 def batched_kv_specs(kv) -> object:
     """Spec tree mirroring a BatchedKVCache: k/v [n, B, KVH, L, D] and (int8 mode)
-    per-slot scales [n, B, KVH, L, 1] shard on the kv-head axis (axis 2); the slot
+    per-slot scales [n, B, KVH, L] shard on the kv-head axis (axis 2); the slot
     axis stays unsharded so every device holds all slots' local heads."""
     return jax.tree.map(
         lambda x: P(*([None, None, "model"] + [None] * (x.ndim - 3))), kv)
