@@ -105,6 +105,31 @@ def test_w4a16_pallas_kernel_interpret():
     np.testing.assert_allclose(y[:S], ref, rtol=5e-2, atol=5e-2)
 
 
+def test_w4a16_gate_up_silu_fused_matches_composed():
+    """Fused gate_up->silu*up kernel == composed matmul + XLA silu*mul (the MLP
+    fusion on the verify path), incl. the awq_gate_up_silu dispatch contract."""
+    import jax
+
+    from umbrella_tpu.ops.pallas.w4a16 import w4a16_gate_up_silu
+    from umbrella_tpu.quantization.awq import awq_gate_up_silu
+
+    rng = np.random.default_rng(7)
+    H, I, g, S = 256, 512, 64, 7
+    w = rng.standard_normal((H, 2 * I)).astype(np.float32) * 0.05
+    int_w, int_z, scales = quantize_matrix(w, g)
+    q = pack_tpu_layout(int_w, int_z, scales, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((S, H)).astype(np.float32) * 0.1)
+
+    got = np.asarray(w4a16_gate_up_silu(x, q, interpret=True))
+    gu = np.asarray(x, np.float32) @ np.asarray(dequantize(q, jnp.float32))
+    ref = np.asarray(jax.nn.silu(gu[:, :I])) * gu[:, I:]
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+    # dispatch wrapper (CPU backend -> dequant path) matches too
+    got2 = np.asarray(awq_gate_up_silu(x, q))
+    np.testing.assert_allclose(got2, ref, rtol=2e-3, atol=2e-3)
+
+
 def test_w4a16_layered_kernel_matches_per_layer():
     """Layered (stacked + scalar-prefetched layer_idx) kernel == slicing the layer
     out and running the 2D kernel, for every layer."""

@@ -27,8 +27,8 @@ from ..ops.attention import attend_batched
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope
 from ..ops.select import embed_lookup, onehot
-from .llama import (StaticModelArgs, _attn_projections, _linear,
-                    _mlp_gate_up, lm_head_logits)
+from .llama import (StaticModelArgs, _attn_projections, _linear, _mlp_act,
+                    lm_head_logits)
 
 
 class BatchedKVCache(NamedTuple):
@@ -188,8 +188,7 @@ def batched_llama_forward(
         hidden = residual + attn
         residual = hidden
         x = rms_norm(hidden, lw["post_norm"], args.rms_eps)
-        gate, up = _mlp_gate_up(lw, x)
-        mlp = _linear(jax.nn.silu(gate) * up, lw["down"])
+        mlp = _linear(_mlp_act(lw, x), lw["down"])
         if args.tp_axis is not None:  # row-parallel down
             mlp = lax.psum(mlp, args.tp_axis)
         hidden = residual + mlp
@@ -395,8 +394,7 @@ def slot_llama_forward(
         hidden = residual + attn
         residual = hidden
         x = rms_norm(hidden, lw["post_norm"], args.rms_eps)
-        gate, up = _mlp_gate_up(lw, x)
-        mlp = _linear(jax.nn.silu(gate) * up, lw["down"])
+        mlp = _linear(_mlp_act(lw, x), lw["down"])
         if args.tp_axis is not None:  # row-parallel down
             mlp = lax.psum(mlp, args.tp_axis)
         hidden = residual + mlp

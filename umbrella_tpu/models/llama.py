@@ -134,6 +134,20 @@ def _mlp_gate_up(lw: dict, hidden, act_int8: bool = False):
             _linear(hidden, lw["up"], act_int8=act_int8))
 
 
+def _mlp_act(lw: dict, hidden, act_int8: bool = False):
+    """silu(gate) * up for the layer's MLP input projection. Routes packed AWQ
+    gate_up through quantization/awq.awq_gate_up_silu, whose default is the
+    COMPOSED sequence — the fused single-kernel variant measured slower on v5e
+    (see ops/pallas/w4a16.w4a16_gate_up_silu) and stays opt-in for A/B runs."""
+    from ..quantization.awq import AwqTensor, awq_gate_up_silu
+
+    gu = lw.get("gate_up")
+    if isinstance(gu, AwqTensor) and not act_int8:
+        return awq_gate_up_silu(hidden, gu)
+    gate, up = _mlp_gate_up(lw, hidden, act_int8=act_int8)
+    return jax.nn.silu(gate) * up
+
+
 def llama_attention(
     args: StaticModelArgs,
     lw: dict,  # single-layer weights (no leading layer dim)
@@ -185,8 +199,8 @@ def llama_layer(
     hidden = residual + attn_out
     residual = hidden
     hidden = rms_norm(hidden, lw["post_norm"], args.rms_eps)
-    gate, up = _mlp_gate_up(lw, hidden, act_int8=args.awq_act_int8)
-    hidden = _linear(jax.nn.silu(gate) * up, lw["down"], act_int8=args.awq_act_int8)
+    act = _mlp_act(lw, hidden, act_int8=args.awq_act_int8)
+    hidden = _linear(act, lw["down"], act_int8=args.awq_act_int8)
     if args.tp_axis is not None:  # row-parallel down: sum the K-partial products
         hidden = lax.psum(hidden, args.tp_axis)
     return residual + hidden, kv

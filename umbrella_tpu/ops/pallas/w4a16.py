@@ -164,16 +164,20 @@ def w4a16_gate_up_silu(x: jnp.ndarray, q, interpret: bool = False,
     [I, 2I) — loader `stack_packed` order). The kernel runs BOTH column tiles
     (gate at j, up at j + I/bn — the same w8/scales/zeros arrays passed twice
     with shifted index maps; total DMA bytes unchanged) and applies
-    silu(g) * u on the fp32 accumulators in the epilogue, so the [S, I]
-    activations never round-trip HBM between three XLA ops and two kernel
-    dispatch boundaries disappear.
+    silu(g) * u on the fp32 accumulators in the epilogue.
 
-    Measured (v5e, slope method, 2026-08, 8B MLP shapes H=4096 I=14336):
-    S=24: fused 0.187 ms vs composed gate_up->silu*up 0.209 (down excluded);
-    S=127: 0.200 vs 0.254 — i.e. ~22-54 us/layer saved; end-to-end with the
-    composed `down` the full MLP chain drops 0.228->0.187 (S=24) and
-    0.299->0.243 ms (S=127). bk2 capped at 1024: FOUR (bk2, bn) fp32 dequant
-    temporaries must fit VMEM (the single-matmul kernel holds two)."""
+    MEASURED SLOWER than the composed sequence — kept as an explored variant,
+    NOT on any default path (same status as w4a8.py). v5e slope method,
+    2026-08, 8B MLP shapes H=4096 I=14336, S=127: composed
+    gate_up-matmul -> XLA silu*mul = 0.171 ms vs fused 0.197 (bn=256 bk2=2048)
+    / 0.211 (256/1024) / 0.179-0.192 (512/1024); S=24 composed 0.134 vs fused
+    0.163. Why: each grid step holds FOUR (bk2, bn) fp32 dequant temporaries
+    (the single-matmul kernel holds two) and issues two dependent accumulator
+    chains, which costs more VMEM-pipeline overlap than the saved [S, 2I] HBM
+    round-trip (~25 us) + dispatch boundary recover. The per-layer chain gap
+    over the summed MXU floors (~65 us/layer at S=127, /tmp-probe 2026-08) is
+    MXU ramp internal to each kernel, not boundary overhead this fusion can
+    reclaim. bk2=512 is illegal (scale blocks need >= 8 sublane groups)."""
     S, K = x.shape
     K2, N2 = q.w8.shape
     assert K == 2 * K2

@@ -229,6 +229,26 @@ def _use_pallas() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+def awq_gate_up_silu(x: jnp.ndarray, q, out_dtype=None,
+                     fused: bool = False) -> jnp.ndarray:
+    """silu(x @ W_gate) * (x @ W_up) for a PACKED gate_up AwqTensor ([K, 2I],
+    gate columns first). Default = COMPOSED ops (one gate_up matmul + XLA
+    silu*mul): the fused single-kernel variant measured SLOWER on v5e (0.197
+    vs 0.171 ms at 8B S=127 — four fp32 dequant temporaries per grid step cost
+    more pipeline overlap than the saved HBM round-trip buys; see
+    ops/pallas/w4a16.w4a16_gate_up_silu). `fused=True` opts in for A/B runs."""
+    tokens = int(np.prod(x.shape[:-1]))
+    I = q.n // 2
+    if fused and tokens < FP16_MATMUL_HEURISTIC_TOKENS and _use_pallas():
+        from ..ops.pallas.w4a16 import w4a16_gate_up_silu
+
+        y = w4a16_gate_up_silu(x.reshape(tokens, x.shape[-1]), q,
+                               out_dtype=out_dtype)
+        return y.reshape(*x.shape[:-1], I)
+    gu = awq_matmul(x, q, out_dtype=out_dtype)
+    return jax.nn.silu(gu[..., :I]) * gu[..., I:]
+
+
 def awq_matmul(x: jnp.ndarray, q, bias: Optional[jnp.ndarray] = None,
                prefer_fused: Optional[bool] = None, out_dtype=None,
                act_int8: bool = False) -> jnp.ndarray:
