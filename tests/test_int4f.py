@@ -131,6 +131,41 @@ def test_hybrid_prefix_engine_lossless_and_correlated():
     assert out["avg_accept_tokens"] > 2.0, out["avg_accept_tokens"]
 
 
+def test_full_int4f_target_engine_lossless():
+    """FULL-Int4F target (every layer + head on the int8-MXU format — the
+    TPU-native W4 serving row): quantize_runtime_int4f converts a MIXED
+    hybrid pytree per element, and greedy spec decode over the converted
+    target is token-identical with its own AR decode."""
+    from umbrella_tpu.models.auto_model import ModelRuntime, early_exit_runtime
+    from umbrella_tpu.quantization.int4f import (
+        Int4FTensor, hybridize_shared_prefix, quantize_runtime_int4f)
+
+    cfg = ModelConfig(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        rope_theta=10000.0, max_position_embeddings=MAX_LEN,
+        tie_word_embeddings=False, eos_token_id=-100)
+    t = random_awq_runtime(cfg, MAX_LEN, dtype=jnp.float32, seed=2,
+                           group_size=64, quantize_lm_head=True)
+    # start from a MIXED pytree (prefix already Int4F) to pin the per-element
+    # conversion path
+    params = hybridize_shared_prefix(t.params, 2, group_size=64)
+    mixed = ModelRuntime(cfg, params, MAX_LEN, dtype=jnp.float32)
+    target = quantize_runtime_int4f(mixed, group_size=64)
+    for i in range(4):
+        assert isinstance(target.params["layers"]["wqkv"][i], Int4FTensor)
+    # prefix tensors are reused, not requantized (bit-shared with the hybrid)
+    assert target.params["layers"]["wqkv"][0] is params["layers"]["wqkv"][0]
+    draft = early_exit_runtime(target, exit_layer=2)
+
+    eng = _make_engine(target, draft)
+    prompt = [1, 17, 42, 9]
+    out = eng.generate(input_ids=prompt, max_new_tokens=32)
+    toks = out["generated_tokens"]
+    assert len(toks) >= 32
+    assert toks == _greedy_ar_decode(target, prompt, len(toks))
+
+
 @pytest.mark.parametrize("source", ["dense", "awq"])
 def test_engine_int4f_draft_token_identical_with_ar_oracle(source):
     cfg = ModelConfig(

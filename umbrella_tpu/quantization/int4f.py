@@ -164,10 +164,11 @@ def quantize_params_int4f(params: dict, group_size: int = 128,
                          "wqkv", "gate_up") if k in src_layers]
     for name in names:
         v = src_layers[name]
-        if isinstance(v, tuple):  # per-layer AwqTensors (or Int4F already)
-            if v and isinstance(v[0], Int4FTensor):
-                continue
-            out_layers[name] = tuple(quantize_int4f(t, group_size) for t in v)
+        if isinstance(v, tuple):  # per-layer AwqTensors (possibly mixed with
+            # Int4F, e.g. a hybridize_shared_prefix result): convert per element
+            out_layers[name] = tuple(
+                t if isinstance(t, Int4FTensor) else quantize_int4f(t, group_size)
+                for t in v)
         else:  # stacked dense [n, K, N]
             out_layers[name] = tuple(
                 quantize_int4f(v[i], group_size) for i in range(n))
