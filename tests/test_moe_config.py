@@ -117,6 +117,28 @@ def test_moe_draft_expert_parallel(tmp_path):
     assert toks == toks_ref and len(toks) >= 3
 
 
+def test_moe_int8_kv_matches_fp_kv(tmp_path):
+    """MoE decode composes with the int8 KV cache (llama_attention path —
+    in-kernel/per-row dequant): same committed tokens as fp KV on a
+    concentrated-logit model."""
+    from test_tp_config import _write_fp_dir
+
+    target, _, _ = _write_moe_dir(tmp_path)
+    draft = _write_fp_dir(str(tmp_path), "draft", seed=1, heads=4, kv_heads=2)
+    config = dict(
+        model=target, draft_model=draft, engine="static", growmap_path=TREE,
+        max_length=MAX_LEN, safe_buffer=16, temperature=0.0,
+        eos_token_ids=[-1], tokenizer=object(), dtype=jnp.float32,
+    )
+    _, toks_fp = _decode_tokens(config)
+    _, toks_i8 = _decode_tokens(dict(config, kv_dtype="int8"))
+    # int8 KV quantization can flip near-ties on a random tiny model; require
+    # agreement on the prefix (identical first decisions) and progress
+    n = min(len(toks_fp), len(toks_i8), 3)
+    assert toks_i8[:n] == toks_fp[:n]
+    assert len(toks_i8) >= 3
+
+
 def test_expert_parallel_rejects_dense_target(tmp_path):
     from test_tp_config import _write_fp_dir
 
