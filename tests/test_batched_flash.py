@@ -14,13 +14,15 @@ def _rand(shape, rng, scale=1.0):
     return (rng.standard_normal(shape) * scale).astype(np.float32)
 
 
-def _dense_oracle(q, kl, vl, mask):
+def _dense_oracle(q, kl, vl, mask, soft_cap=0.0):
     """q [B,S,H,D]; kl/vl [B,KVH,L,D] fp; mask [B,S,L]."""
     B, S, H, D = q.shape
     KVH = kl.shape[1]
     G = H // KVH
     qg = q.reshape(B, S, KVH, G, D)
     scores = np.einsum("bskgd,bkld->bkgsl", qg, kl) / np.sqrt(D)
+    if soft_cap > 0.0:
+        scores = soft_cap * np.tanh(scores / soft_cap)
     scores = np.where(mask[:, None, None, :, :], scores, -1e30)
     probs = np.exp(scores - scores.max(-1, keepdims=True))
     probs /= probs.sum(-1, keepdims=True)
@@ -118,3 +120,16 @@ def test_batched_flash_int8_kv():
     ref = _dense_oracle(q, (kq[layer].astype(np.float32) * ks[layer][..., None]),
                         (vq[layer].astype(np.float32) * vs[layer][..., None]), mask)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-3, atol=2e-3)
+
+    # int8 x soft-cap composition (batched gemma2 with int8 KV): the cap must
+    # apply to the DEQUANTIZED scores (after the per-column k-scale fold)
+    cap = 30.0
+    out_sc = attend_flash_batched(
+        jnp.asarray(q), jnp.asarray(kq), jnp.asarray(vq), jnp.asarray(mask),
+        jnp.asarray(limits), jnp.int32(layer), block_k=128, interpret=True,
+        soft_cap=cap, k_scale=jnp.asarray(ks), v_scale=jnp.asarray(vs))
+    ref_sc = _dense_oracle(
+        q, (kq[layer].astype(np.float32) * ks[layer][..., None]),
+        (vq[layer].astype(np.float32) * vs[layer][..., None]), mask,
+        soft_cap=cap)
+    np.testing.assert_allclose(np.asarray(out_sc), ref_sc, rtol=2e-3, atol=2e-3)
