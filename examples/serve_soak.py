@@ -32,6 +32,12 @@ def main():
     p.add_argument("--mixed-priorities", action="store_true",
                    help="alternate priority 1/5 to exercise per-class metrics "
                         "and inversion accounting under the batcher lookahead")
+    p.add_argument("--model-class", choices=["1b", "awq8b"], default="1b",
+                   help="awq8b = the bench-primary flagship composition "
+                        "(8B-AWQ damped target + shared early-exit Int4F "
+                        "draft, REAL acceptance) at the promoted serving "
+                        "point: int8 KV, 2x3 tree — measures per-request "
+                        "latency percentiles at the 908-tok/s aggregate row")
     args = p.parse_args()
 
     import jax
@@ -49,25 +55,52 @@ def main():
     from umbrella_tpu.serving.scheduler import make_scheduler
 
     max_len = args.max_len
-    target_cfg = ModelConfig(
-        vocab_size=128256, hidden_size=2048, intermediate_size=8192,
-        num_hidden_layers=16, num_attention_heads=32, num_key_value_heads=8,
-        rope_theta=500000.0, max_position_embeddings=max_len,
-        tie_word_embeddings=True, eos_token_id=-100)
-    draft_cfg = ModelConfig(
-        vocab_size=128256, hidden_size=768, intermediate_size=3072,
-        num_hidden_layers=2, num_attention_heads=12, num_key_value_heads=12,
-        rope_theta=500000.0, max_position_embeddings=max_len,
-        tie_word_embeddings=True, eos_token_id=-100)
     dtype = jnp.bfloat16
-    target = random_runtime(target_cfg, max_len, dtype=dtype, seed=0)
-    draft = quantize_runtime(random_runtime(draft_cfg, max_len, dtype=dtype, seed=1),
-                             dtype=dtype, quantize_lm_head=True)
-    gm = growmap_from_spec(5, 6, acc=[0.55, 0.2, 0.1, 0.06, 0.05, 0.04])
+    if args.model_class == "awq8b":
+        # the bench-primary flagship composition at the promoted serving point
+        from umbrella_tpu.models.auto_model import (
+            ModelRuntime, early_exit_runtime, random_awq_runtime)
+        from umbrella_tpu.quantization.int4f import hybridize_shared_prefix
+
+        awq_cfg = ModelConfig(
+            vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+            num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=8,
+            rope_theta=500000.0, max_position_embeddings=max_len,
+            tie_word_embeddings=False, eos_token_id=-100)
+        EXIT = 3
+        target = random_awq_runtime(awq_cfg, max_len, dtype=dtype, seed=2,
+                                    quantize_lm_head=True)
+        dl = dict(target.params["layers"])
+        for k in ("wo", "down"):
+            dl[k] = tuple(q._replace(scales=q.scales * 0.05) if i >= EXIT else q
+                          for i, q in enumerate(dl[k]))
+        target.params = hybridize_shared_prefix(
+            dict(target.params, layers=dl), EXIT)
+        target = ModelRuntime(awq_cfg, target.params, max_len, dtype=dtype)
+        draft = early_exit_runtime(target, exit_layer=EXIT)
+        gm = growmap_from_spec(2, 3)
+        kv_dtype = "int8"
+    else:
+        target_cfg = ModelConfig(
+            vocab_size=128256, hidden_size=2048, intermediate_size=8192,
+            num_hidden_layers=16, num_attention_heads=32, num_key_value_heads=8,
+            rope_theta=500000.0, max_position_embeddings=max_len,
+            tie_word_embeddings=True, eos_token_id=-100)
+        draft_cfg = ModelConfig(
+            vocab_size=128256, hidden_size=768, intermediate_size=3072,
+            num_hidden_layers=2, num_attention_heads=12, num_key_value_heads=12,
+            rope_theta=500000.0, max_position_embeddings=max_len,
+            tie_word_embeddings=True, eos_token_id=-100)
+        target = random_runtime(target_cfg, max_len, dtype=dtype, seed=0)
+        draft = quantize_runtime(
+            random_runtime(draft_cfg, max_len, dtype=dtype, seed=1),
+            dtype=dtype, quantize_lm_head=True)
+        gm = growmap_from_spec(5, 6, acc=[0.55, 0.2, 0.1, 0.06, 0.05, 0.04])
+        kv_dtype = None
     eng = BatchedStaticEngine(
         draft_model_name=draft, target_model_name=target, batch_size=args.batch,
         dtype=dtype, growmap=gm, max_length=max_len, eos_token_ids=[-100],
-        segment_steps=8)
+        segment_steps=8, kv_dtype=kv_dtype)
     eng.initialize()
     # warmup compile (prefill buckets + segment) before the timed soak
     rng = np.random.default_rng(0)
@@ -129,7 +162,12 @@ def main():
                 k: round(v["queue_seconds"] / max(v["requests"], 1), 3)
                 for k, v in sched_metrics["by_priority"].items()},
             "prompt_tokens": [args.prompt_min, args.prompt_max],
-            "note": "random weights => acceptance floor; throughput is a lower bound",
+            "model_class": args.model_class,
+            "note": ("8B-AWQ flagship composition, REAL acceptance (early-exit "
+                     "shared draft), int8 KV, 2x3 tree"
+                     if args.model_class == "awq8b" else
+                     "random weights => acceptance floor; throughput is a "
+                     "lower bound"),
         },
     }
     print(json.dumps(result))
