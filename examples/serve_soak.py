@@ -32,6 +32,9 @@ def main():
     p.add_argument("--mixed-priorities", action="store_true",
                    help="alternate priority 1/5 to exercise per-class metrics "
                         "and inversion accounting under the batcher lookahead")
+    p.add_argument("--segment-steps", type=int, default=8,
+                   help="decode steps fused per dispatch; higher = fewer host "
+                        "syncs/admission boundaries, coarser latency")
     p.add_argument("--model-class", choices=["1b", "awq8b"], default="1b",
                    help="awq8b = the bench-primary flagship composition "
                         "(8B-AWQ damped target + shared early-exit Int4F "
@@ -100,7 +103,7 @@ def main():
     eng = BatchedStaticEngine(
         draft_model_name=draft, target_model_name=target, batch_size=args.batch,
         dtype=dtype, growmap=gm, max_length=max_len, eos_token_ids=[-100],
-        segment_steps=8, kv_dtype=kv_dtype)
+        segment_steps=args.segment_steps, kv_dtype=kv_dtype)
     eng.initialize()
     # warmup compile (prefill buckets + segment) before the timed soak
     rng = np.random.default_rng(0)
