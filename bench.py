@@ -406,6 +406,32 @@ def main():
     except Exception as e:
         dyn_detail = {"dynamic_error": f"{type(e).__name__}: {e}"[:200]}
 
+    # dynamic engine at the FLAGSHIP composition (8B-AWQ + early-exit draft,
+    # REAL acceptance): the reference's default engine class measured beyond
+    # the 1B floor row above
+    try:
+        from umbrella_tpu.speculation.dynamic_engine import DynamicEngine
+
+        deng8 = DynamicEngine(
+            draft_model_name=draft_ee, target_model_name=target8, dtype=dtype,
+            width=16, num_beams=16, depth=6, max_length=max_len,
+            eos_token_ids=[-100], temperature=0.0)
+        deng8.initialize()
+        assert deng8._prefill(prompt)
+        deng8._decode_fused(8)
+        dec5, dt5, steps5 = _time_decode(deng8, jax, prompt, 192)
+        dyn_detail.update({
+            "dynamic8b_tokens_per_sec": round(dec5 / dt5, 2),
+            "dynamic8b_decode_step_ms": round(1000 * dt5 / steps5, 2),
+            "dynamic8b_avg_accept": round(dec5 / steps5, 2),
+            "dynamic8b_setup": "8B-AWQ + early-exit(3/32) draft, beam tree "
+                               "width=16 num_beams=16 depth=6, real acceptance",
+        })
+        del deng8
+        gc.collect()
+    except Exception as e:
+        dyn_detail["dynamic8b_error"] = f"{type(e).__name__}: {e}"[:200]
+
     # ---- secondary: REAL-acceptance continuous batching at 8B-AWQ -----------
     # Slots of the PRIMARY composition (8B-AWQ damped target + early-exit W4
     # draft): aggregate serving throughput at real multi-token acceptance — the
