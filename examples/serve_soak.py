@@ -116,7 +116,7 @@ def main():
     batcher.start()
     sched = make_scheduler(batcher=batcher)
     sched.start()
-    lat, sizes = [], []
+    lat = []
     t0 = time.time()
     futs = []
     for i in range(args.requests):
