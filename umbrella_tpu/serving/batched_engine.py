@@ -36,6 +36,7 @@ from ..ops.masks import (causal_mask_rows, causal_mask_rows_batched,
 from ..ops.select import onehot
 from ..speculation.spec_utils import next_bucket
 from ..speculation.tree import GrowMap
+from ..speculation.verify import accept_and_commit
 from ..utils import setup_logger
 
 logger = setup_logger()
@@ -347,38 +348,13 @@ class BatchedStaticEngine:
                 greedy_mask = (temperature_vec < 0.05)[:, None]
                 sampled = jnp.where(greedy_mask, greedy_tok, stoch_tok)
 
-            # accept rule (batched; tree metadata shared across slots)
-            psel = onehot(parents, T, jnp.float32)  # [T, T]
-            sam_par = jnp.einsum("ts,bs->bt", psel,
-                                 sampled.astype(jnp.float32)).astype(jnp.int32)
-            accept = (sam_par == ids)
-            accept = accept.at[:, 0].set(True)
-            anc = jnp.einsum("ts,bs->bt", bitmap.astype(jnp.float32),
-                             accept.astype(jnp.float32))
-            path_ok = anc == node_in_path[None, :].astype(jnp.float32)
-            alen0 = jnp.sum(path_ok, axis=1).astype(jnp.int32)
-            iota = jax.lax.iota(jnp.int32, T)
-            path = jnp.sort(jnp.where(path_ok, iota[None, :], T), axis=1)
-            path = jnp.clip(path, 0, T - 1)
-            last = jnp.max(jnp.where(path_ok, iota[None, :], -1), axis=1)
-            bonus = jnp.sum(jnp.where(iota[None, :] == last[:, None], sampled, 0),
-                            axis=1)
-            hit = path[:, :, None] == iota[None, None, :]
-            acc_tokens = jnp.sum(jnp.where(hit, ids[:, None, :], 0), axis=2)
-
+            # accept rule: the SHARED kernel (speculation/verify.accept_and_commit,
+            # one implementation of truth with the single-slot engines)
             old_block = slice_rows(tokens, nn, T + 1)
-            bidx = jax.lax.iota(jnp.int32, T + 1)[None, :]
-            acc_pad = jnp.concatenate([acc_tokens, acc_tokens[:, -1:]], axis=1)
-            block = jnp.where(bidx < alen0[:, None], acc_pad,
-                              jnp.where(bidx == alen0[:, None],
-                                        bonus[:, None], old_block))
-
-            is_eos = jnp.any(block[:, :, None] == eos_arr[None, None, :], axis=-1)
-            pos_b = jax.lax.iota(jnp.int32, T + 1)[None, :]
-            is_eos &= pos_b < (alen0 + 1)[:, None]
-            first = jnp.min(jnp.where(is_eos, pos_b, T + 1), axis=1)
-            eos_found = first <= T
-            alen = jnp.where(eos_found, first, alen0).astype(jnp.int32)
+            block, path, alen, eos_found = accept_and_commit(
+                ids, sampled, old_block, bitmap, parents, node_in_path, eos_arr)
+            # engine-specific gating: inactive slots commit nothing; slots at the
+            # context cap freeze (the serving loop deactivates them)
             alen = jnp.where(active & (nn + alen <= cap), alen, 0)
             eos_found &= active
 
