@@ -227,3 +227,47 @@ def test_admission_budget_scales_with_pending():
     assert ContinuousBatcher.admission_budget(True, 0, 1) == 1
     assert ContinuousBatcher.admission_budget(True, 5, 1) == 5
     assert ContinuousBatcher.admission_budget(True, 2, 4) == 4
+
+
+def test_per_request_perf_contract_batched_path():
+    """VERDICT r4 item 2: a batched-path client must get a REAL per-request
+    time_per_output_token (> 0, reference contract at ref static engine
+    :431-432) and a ttft_ms covering submit -> first committed tokens —
+    not 0.0 and not an aggregate mean."""
+    from umbrella_tpu.serving.scheduler import make_scheduler
+
+    eng = _batched(tokenizer=_FakeTokenizer())
+    batcher = ContinuousBatcher(eng)
+    batcher.start()
+    sched = make_scheduler(batcher=batcher)
+    sched.start()
+    try:
+        t0 = time.time()
+        futs = [sched.submit(input_ids=[1 + i, 5, 9], max_new_tokens=24)
+                for i in range(3)]
+        results = [f.result(timeout=120) for f in futs]
+        wall_ms = 1000 * (time.time() - t0)
+        tpots = [r["time_per_output_token"] for r in results]
+        assert all(t > 0 for t in tpots), tpots
+        assert all(r["ttft_ms"] > 0 for r in results)
+        # per-request, not one shared aggregate: requests finish at different
+        # syncs with different token counts, so the values must not all be
+        # bitwise identical
+        assert len(set(tpots)) > 1 or len(results) == 1, tpots
+        # ttft (incl. queue wait at B=2 with 3 requests) is bounded by the
+        # client-observed total wall for the whole burst
+        assert all(r["ttft_ms"] <= wall_ms for r in results)
+    finally:
+        sched.shutdown(wait=False)
+        batcher.shutdown()
+
+
+def test_per_request_perf_contract_direct_run():
+    """BatchedStaticEngine.run() fills per-request tpot/ttft too (the
+    closed-loop path previously back-filled one aggregate mean)."""
+    eng = _batched()
+    res = eng.run([dict(input_ids=[3, 1, 4], max_new_tokens=16),
+                   dict(input_ids=[2, 7, 1], max_new_tokens=48)])
+    assert all(r["time_per_output_token"] > 0 for r in res)
+    assert all(r["ttft_ms"] > 0 for r in res)
+    assert res[0]["time_per_output_token"] != res[1]["time_per_output_token"]

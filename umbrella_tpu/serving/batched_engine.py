@@ -642,11 +642,6 @@ class BatchedStaticEngine:
             admit_from_queue()
         elapsed = time.time() - t0
         total_tokens = sum(len(r["generated_tokens"]) for r in results if r)
-        if total_tokens:
-            tpot = 1000 * elapsed / total_tokens
-            for r in results:
-                if r and r["generated_tokens"]:
-                    r["time_per_output_token"] = tpot
         logger.info("continuous batching: %d requests, %d steps, %.1f tok/s",
                     len(requests), total_steps,
                     total_tokens / max(elapsed, 1e-9))
@@ -654,7 +649,7 @@ class BatchedStaticEngine:
 
 
 _EMPTY_RESULT = dict(generated_text="", generated_tokens=[],
-                     avg_accept_tokens=0, time_per_output_token=0)
+                     avg_accept_tokens=0, time_per_output_token=0, ttft_ms=0)
 
 
 class _SlotTracker:
@@ -672,6 +667,12 @@ class _SlotTracker:
         self.pending = {}     # slot -> (admission state, tag, request)
         self.emitted = {}     # slot -> tokens already sent to its stream_cb
         self._rr_last = -1    # round-robin pointer over pending admissions
+        # per-request perf contract (reference returns a REAL per-request
+        # time_per_output_token, ref static engine :431-432; TTFT is the
+        # serving-side extension): wall clocks per slot
+        self.submit_t = {}    # request arrival (req _submit_time, else admission)
+        self.decode_t0 = {}   # prefill done / decode start (ref t1)
+        self.first_tok_t = {}  # first sync at which committed tokens were seen
 
     def extract_ids(self, req):
         ids = req.get("input_ids")
@@ -682,10 +683,18 @@ class _SlotTracker:
         ids = np.asarray(ids, np.int32).reshape(-1)  # ndarray-safe (no `not ids`)
         return ids if ids.size else None
 
-    def _register(self, slot: int, tag, req):
+    def _register(self, slot: int, tag, req, start: Optional[int] = None):
+        now = time.time()
         self.slot_req[slot] = (tag, req)
-        self.slot_start[slot] = int(self.eng.num_nodes[slot])
+        # `start` is the prompt length (known to the caller): the engine's
+        # num_nodes mirror equals it in the serial loop, but lags one segment
+        # in the pipelined loop, so the caller's value is authoritative
+        self.slot_start[slot] = (int(self.eng.num_nodes[slot]) if start is None
+                                 else int(start))
         self.slot_steps[slot] = 0
+        self.submit_t[slot] = float(req.get("_submit_time") or now)
+        self.decode_t0[slot] = now
+        self.first_tok_t[slot] = None
         self.max_new[slot] = int(req.get("max_new_tokens", 128))
         self.stop_at[slot] = self.slot_start[slot] + self.max_new[slot]
         cb = req.get("_admit_cb")  # scheduler inversion accounting hook
@@ -704,7 +713,7 @@ class _SlotTracker:
         self.eng.advance_admission(st)
         if st["failed"]:
             return False
-        self._register(slot, tag, req)
+        self._register(slot, tag, req, start=len(st["ids"]))
         return True
 
     def occupied(self):
@@ -742,7 +751,7 @@ class _SlotTracker:
             if st["failed"]:
                 done.append((slot, tag, False))
             else:
-                self._register(slot, tag, req)
+                self._register(slot, tag, req, start=len(st["ids"]))
                 done.append((slot, tag, True))
         return done
 
@@ -791,13 +800,28 @@ class _SlotTracker:
         """[(slot, tag, result_dict)] for slots that finished this segment;
         releases them. Output is clamped to the request budget (a full accepted
         path can overshoot stop_at by up to tree_size tokens — a serving client
-        must never receive more than max_new_tokens(+1 trailing))."""
+        must never receive more than max_new_tokens(+1 trailing)).
+
+        Fills the per-request perf contract: `time_per_output_token` is this
+        REQUEST's decode wall / its token count (reference semantics, ref
+        static engine :431-432 — not an aggregate mean), `ttft_ms` the wall
+        from submission to the first sync at which committed tokens were
+        visible (segment-quantized: the batched path syncs per segment)."""
         eng = self.eng
+        now = time.time()
         done = []
         for b in list(self.slot_req):
             self.slot_steps[b] += int(steps_seg[b])
+            if (self.first_tok_t.get(b) is None
+                    and int(eng.num_nodes[b]) > self.slot_start[b]):
+                self.first_tok_t[b] = now
             if eng.active[b]:
                 continue  # still decoding
+            if self.slot_steps[b] == 0:
+                # pipelined loop: the synced segment predates this slot's first
+                # active segment (activation rides the NEXT dispatch) — the
+                # request hasn't decoded at all yet, don't harvest it
+                continue
             tag, req = self.slot_req[b]
             end = min(int(eng.num_nodes[b]),
                       self.slot_start[b] + self.max_new[b])
@@ -806,14 +830,18 @@ class _SlotTracker:
                 toks, skip_special_tokens=True,
                 clean_up_tokenization_spaces=False)
                 if eng.tokenizer else "")
+            t_first = self.first_tok_t.get(b) or now
             done.append((b, tag, dict(
                 generated_text=text, generated_tokens=toks,
                 avg_accept_tokens=len(toks) / max(self.slot_steps[b], 1),
-                time_per_output_token=0.0)))
+                time_per_output_token=(
+                    1000.0 * (now - self.decode_t0[b]) / max(len(toks), 1)),
+                ttft_ms=1000.0 * (t_first - self.submit_t[b]))))
             eng.release(b)
             self.emitted.pop(b, None)
             del (self.slot_req[b], self.slot_start[b], self.slot_steps[b],
-                 self.max_new[b])
+                 self.max_new[b], self.submit_t[b], self.decode_t0[b],
+                 self.first_tok_t[b])
         return done
 
 
@@ -836,6 +864,9 @@ class ContinuousBatcher:
 
     def submit(self, **request) -> Future:
         fut: Future = Future()
+        # arrival stamp for the TTFT contract (the scheduler overrides it with
+        # its own queue-entry time so TTFT includes scheduler-queue wait)
+        request.setdefault("_submit_time", time.time())
         with self._lock:
             self._queue.append((request, fut))
         self._wake.set()

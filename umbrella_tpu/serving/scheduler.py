@@ -110,6 +110,7 @@ class Scheduler:
                 # with whether a better-priority request sat behind it in the
                 # batcher's own FIFO; _priority lets the batcher compare
                 item.request["_priority"] = item.priority
+                item.request["_submit_time"] = item.submitted_at  # TTFT incl. queue
                 item.request["_admit_cb"] = functools.partial(
                     self._on_slot_admission, item.priority)
             err = None
