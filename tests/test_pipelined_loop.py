@@ -1,0 +1,121 @@
+"""Lag-1 pipelined serving loop (VERDICT r4 item 1): token identity vs the
+serial loop, multi-chunk admission under the pipeline, perf contract intact.
+
+The pipelined ContinuousBatcher dispatches segment k+1 before fetching segment
+k's results; committed tokens must be IDENTICAL to the serial loop's (greedy
+decoding is deterministic given the weights, so overlap must change wall-clock
+only — any divergence means a scratch-write or stale-mirror bug).
+"""
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from umbrella_tpu.models.auto_model import random_runtime
+from umbrella_tpu.sequoia import growmap_from_spec
+from umbrella_tpu.serving.batched_engine import (
+    BatchedStaticEngine, ContinuousBatcher)
+
+from test_static_engine import MAX_LEN, _cfg
+
+
+def _engine(batch_size=3, max_length=MAX_LEN, segment_steps=2):
+    target = random_runtime(_cfg(), max_length, seed=0)
+    draft = random_runtime(_cfg(), max_length, seed=1)
+    eng = BatchedStaticEngine(
+        draft_model_name=draft, target_model_name=target,
+        batch_size=batch_size, dtype=jnp.float32, growmap=growmap_from_spec(3, 4),
+        max_length=max_length, safe_buffer=32, eos_token_ids=[-1],
+        segment_steps=segment_steps)
+    eng.initialize()
+    return eng
+
+
+def _requests(n, rng, lo=3, hi=40, max_new=(16, 48)):
+    return [dict(input_ids=rng.integers(3, 90, size=int(rng.integers(lo, hi)))
+                 .astype(np.int32).tolist(),
+                 max_new_tokens=int(rng.integers(*max_new)))
+            for _ in range(n)]
+
+
+def _through_batcher(pipeline, reqs, stagger=0.0, **engine_kw):
+    eng = _engine(**engine_kw)
+    batcher = ContinuousBatcher(eng, pipeline=pipeline)
+    batcher.start()
+    try:
+        futs = []
+        for r in reqs:
+            futs.append(batcher.submit(**dict(r)))
+            if stagger:
+                time.sleep(stagger)
+        return [f.result(timeout=300) for f in futs]
+    finally:
+        batcher.shutdown()
+
+
+def test_pipelined_matches_serial_burst():
+    """8 greedy requests > B=3 slots: multiple admission waves, slot reuse.
+    Per-request committed tokens must be identical across the two loops."""
+    rng = np.random.default_rng(11)
+    reqs = _requests(8, rng)
+    serial = _through_batcher(False, reqs)
+    pipelined = _through_batcher(True, reqs)
+    for i, (s, p) in enumerate(zip(serial, pipelined)):
+        assert s["generated_tokens"] == p["generated_tokens"], i
+    assert all(r["time_per_output_token"] > 0 for r in pipelined)
+    assert all(r["ttft_ms"] > 0 for r in pipelined)
+
+
+def test_pipelined_matches_serial_staggered_arrivals():
+    """Open-loop-ish arrivals: admissions land at different pipeline phases."""
+    rng = np.random.default_rng(5)
+    reqs = _requests(6, rng)
+    serial = _through_batcher(False, reqs, stagger=0.05)
+    pipelined = _through_batcher(True, reqs, stagger=0.05)
+    for i, (s, p) in enumerate(zip(serial, pipelined)):
+        assert s["generated_tokens"] == p["generated_tokens"], i
+
+
+def test_pipelined_multichunk_admission_identity():
+    """Prompts above the largest prefill bucket (512) admit over multiple
+    segment boundaries; interleaved gated segments must not corrupt the
+    staged prompt rows (the set_nn device guard + final-chunk row repair)."""
+    rng = np.random.default_rng(3)
+    reqs = [dict(input_ids=rng.integers(3, 90, size=600).astype(np.int32)
+                 .tolist(), max_new_tokens=24),
+            dict(input_ids=rng.integers(3, 90, size=20).astype(np.int32)
+                 .tolist(), max_new_tokens=40),
+            dict(input_ids=rng.integers(3, 90, size=550).astype(np.int32)
+                 .tolist(), max_new_tokens=16)]
+    kw = dict(batch_size=2, max_length=1024, segment_steps=2)
+    serial = _through_batcher(False, reqs, **kw)
+    pipelined = _through_batcher(True, reqs, **kw)
+    for i, (s, p) in enumerate(zip(serial, pipelined)):
+        assert s["generated_tokens"] == p["generated_tokens"], i
+
+
+def test_pipelined_matches_direct_run():
+    """The pipelined loop also matches the closed-loop run() path (the other
+    serial reference implementation)."""
+    rng = np.random.default_rng(2)
+    reqs = _requests(5, rng)
+    eng = _engine()
+    direct = eng.run([dict(r) for r in reqs])
+    pipelined = _through_batcher(True, reqs)
+    for i, (d, p) in enumerate(zip(direct, pipelined)):
+        assert d["generated_tokens"] == p["generated_tokens"], i
+
+
+def test_pipelined_stochastic_and_eos_smoke():
+    """Mixed greedy/stochastic slots through the pipelined loop: budgets are
+    honored and results well-formed (stochastic tokens aren't reproducible
+    across loop variants — key streams differ by segment count)."""
+    rng = np.random.default_rng(9)
+    reqs = _requests(4, rng)
+    for i, r in enumerate(reqs):
+        if i % 2:
+            r["temperature"] = 0.9
+    out = _through_batcher(True, reqs)
+    for r, q in zip(out, reqs):
+        assert 1 <= len(r["generated_tokens"]) <= q["max_new_tokens"] + 1
+        assert r["time_per_output_token"] > 0
