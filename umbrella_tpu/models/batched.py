@@ -353,6 +353,116 @@ def slot_gemma2_forward(
     return logits, kv
 
 
+def batched_moe_forward(
+    params: dict,
+    args: StaticModelArgs,
+    kv: BatchedKVCache,
+    input_ids: jnp.ndarray,     # [B, S]
+    position_ids: jnp.ndarray,  # [B, S]
+    attn_mask: jnp.ndarray,     # [B, S, L] bool
+    write_offsets: jnp.ndarray,  # [B]
+    top_k: int = 2,
+) -> Tuple[jnp.ndarray, BatchedKVCache]:
+    """All-slots MoE decode forward: batched_llama_forward's attention over the
+    batched KV cache + the dense-dispatch top-k MoE MLP (models/moe.moe_mlp,
+    already [B, S, H]-shaped — continuous batching composes with expert
+    parallelism for free: with params sharded P(None, 'expert', ...) GSPMD
+    partitions the per-expert einsums and inserts one psum for the combine).
+    The reference has neither MoE nor batching (SURVEY §2: dense-MLP only,
+    batch-1 KV `umbrella/attn/cache.py:18-34`)."""
+    from .moe import moe_mlp
+
+    B, S = input_ids.shape
+    H, D, KVH = args.num_heads, args.head_dim, args.num_kv_heads
+    scale = 1.0 / (D ** 0.5)
+    inv_freq, rope_scale = params["rope_inv_freq"], params["rope_scale"]
+
+    dt = params["final_norm"].dtype
+    hidden = embed_lookup(params["embed"], input_ids.reshape(-1), dt) \
+        .reshape(B, S, -1)
+
+    def body(carry, xs):
+        hidden, kv = carry
+        layer_idx, lw = xs
+        residual = hidden
+        x = rms_norm(hidden, lw["input_norm"], args.rms_eps)
+        q, k, v = _attn_projections(args, lw, x)
+        q = q.reshape(B, S, H, D)
+        k = k.reshape(B, S, KVH, D)
+        v = v.reshape(B, S, KVH, D)
+        q, k = jax.vmap(lambda qq, kk, pp: apply_rope(
+            qq, kk, inv_freq, rope_scale, pp))(q, k, position_ids)
+        kv = update_layer_batched(kv, layer_idx, k, v, write_offsets)
+        out = attend_batched(
+            q, kv.k, kv.v, attn_mask, kv_limits=write_offsets + S,
+            layer_idx=layer_idx, scale=scale,
+            k_scale=kv.k_scale, v_scale=kv.v_scale).reshape(B, S, H * D)
+        hidden = residual + _linear(out, lw["wo"])
+        residual = hidden
+        x = rms_norm(hidden, lw["post_norm"], args.rms_eps)
+        mlp, _aux = moe_mlp(lw, x, top_k=top_k)
+        return (residual + mlp, kv), None
+
+    layer_ids = lax.iota(jnp.int32, args.n_layers)
+    (hidden, kv), _ = lax.scan(body, (hidden, kv), (layer_ids, params["layers"]))
+
+    hidden = rms_norm(hidden, params["final_norm"], args.rms_eps)
+    logits = lm_head_logits(params, hidden)
+    return logits, kv
+
+
+def slot_moe_forward(
+    params: dict,
+    args: StaticModelArgs,
+    kv: BatchedKVCache,
+    input_ids: jnp.ndarray,     # [S]
+    position_ids: jnp.ndarray,  # [S]
+    attn_mask: jnp.ndarray,     # [S, L] bool
+    slot,                       # traced scalar slot id
+    write_offset,               # traced scalar
+    top_k: int = 2,
+) -> Tuple[jnp.ndarray, BatchedKVCache]:
+    """Single-slot MoE forward (prefill path of the batched engine)."""
+    from .moe import moe_mlp
+
+    S = input_ids.shape[0]
+    H, D, KVH = args.num_heads, args.head_dim, args.num_kv_heads
+    scale = 1.0 / (D ** 0.5)
+    inv_freq, rope_scale = params["rope_inv_freq"], params["rope_scale"]
+
+    hidden = embed_lookup(params["embed"], input_ids, params["final_norm"].dtype)
+
+    def body(carry, xs):
+        hidden, kv = carry
+        layer_idx, lw = xs
+        residual = hidden
+        x = rms_norm(hidden, lw["input_norm"], args.rms_eps)
+        q, k, v = _attn_projections(args, lw, x)
+        q = q.reshape(S, H, D)
+        k = k.reshape(S, KVH, D)
+        v = v.reshape(S, KVH, D)
+        q, k = apply_rope(q, k, inv_freq, rope_scale, position_ids)
+        kv = update_layer_slot(kv, layer_idx, k, v, slot, write_offset)
+        out = attend_batched(
+            q[None], kv.k, kv.v, attn_mask[None],
+            kv_limits=jnp.asarray(write_offset + S, jnp.int32).reshape(1),
+            layer_idx=layer_idx, slots=jnp.asarray(slot, jnp.int32).reshape(1),
+            scale=scale, k_scale=kv.k_scale, v_scale=kv.v_scale)[0] \
+            .reshape(S, H * D)
+        hidden = residual + _linear(out, lw["wo"])
+        residual = hidden
+        x = rms_norm(hidden, lw["post_norm"], args.rms_eps)
+        mlp, _aux = moe_mlp(lw, x[None], top_k=top_k)
+        return (residual + mlp[0], kv), None
+
+    layer_ids = lax.iota(jnp.int32, args.n_layers)
+    (hidden, kv), _ = lax.scan(body, (hidden, kv), (layer_ids, params["layers"]))
+
+    hidden = rms_norm(hidden, params["final_norm"], args.rms_eps)
+    logits = lm_head_logits(params, hidden)
+    return logits, kv
+
+
 def slot_llama_forward(
     params: dict,
     args: StaticModelArgs,

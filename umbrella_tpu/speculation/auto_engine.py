@@ -41,7 +41,8 @@ _ENGINE_CONFIG_KEYS = {
     "batched_static": (_COMMON_KEYS - {"stop_distance"}) | _APP_KEYS | {
         "growmap_path", "growmap", "batch_size", "segment_steps",
         "prefill_chunks_per_segment", "tensor_parallel", "pipeline_parallel",
-        "offload", "exit_layer", "num_cache_layers", "quantize_draft"},
+        "expert_parallel", "offload", "exit_layer", "num_cache_layers",
+        "quantize_draft"},
 }
 
 
