@@ -57,8 +57,17 @@ _KNOWN_FAMILIES = {
 def resolve_family(model_name: str, cfg: Optional[ModelConfig] = None) -> str:
     if cfg is not None and cfg.model_type:
         mt = cfg.model_type.lower()
-        if "mixtral" in mt or (cfg.num_local_experts or 0) > 0:
+        if "mixtral" in mt:
             return "moe"
+        if (cfg.num_local_experts or 0) > 0:
+            # other MoE variants (qwen-moe, deepseek-moe, ...) store experts
+            # under different tensor names than Mixtral's block_sparse_moe.* —
+            # reject clearly instead of failing deep inside load_moe_params
+            raise ValueError(
+                f"unsupported MoE variant model_type={cfg.model_type!r} "
+                f"(num_local_experts={cfg.num_local_experts}): only "
+                "Mixtral-format checkpoints (block_sparse_moe.* expert "
+                "tensors) are loadable as family 'moe'")
         if "gemma2" in mt:
             return "gemma2"
         if "qwen" in mt:

@@ -25,6 +25,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import setup_logger
+
+logger = setup_logger()
+
 AWQ_REVERSE_ORDER = np.array([0, 4, 1, 5, 2, 6, 3, 7])
 
 # tokens >= this use dequant-to-bf16 + XLA matmul. The reference dispatches at
@@ -239,12 +243,20 @@ def awq_gate_up_silu(x: jnp.ndarray, q, out_dtype=None,
     ops/pallas/w4a16.w4a16_gate_up_silu). `fused=True` opts in for A/B runs."""
     tokens = int(np.prod(x.shape[:-1]))
     I = q.n // 2
-    if fused and tokens < FP16_MATMUL_HEURISTIC_TOKENS and _use_pallas():
-        from ..ops.pallas.w4a16 import w4a16_gate_up_silu
+    if fused:
+        if tokens < FP16_MATMUL_HEURISTIC_TOKENS and _use_pallas():
+            from ..ops.pallas.w4a16 import w4a16_gate_up_silu
 
-        y = w4a16_gate_up_silu(x.reshape(tokens, x.shape[-1]), q,
-                               out_dtype=out_dtype)
-        return y.reshape(*x.shape[:-1], I)
+            y = w4a16_gate_up_silu(x.reshape(tokens, x.shape[-1]), q,
+                                   out_dtype=out_dtype)
+            return y.reshape(*x.shape[:-1], I)
+        # fused=True exists solely for A/B measurement — falling back silently
+        # would make a "fused" run measure the composed path (ADVICE r4)
+        logger.warning(
+            "awq_gate_up_silu(fused=True) falling back to the composed path "
+            "(tokens=%d >= %d or backend=%s != tpu) — this run does NOT "
+            "measure the fused kernel", tokens, FP16_MATMUL_HEURISTIC_TOKENS,
+            jax.default_backend())
     gu = awq_matmul(x, q, out_dtype=out_dtype)
     return jax.nn.silu(gu[..., :I]) * gu[..., I:]
 
