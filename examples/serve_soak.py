@@ -35,7 +35,7 @@ def main():
     p.add_argument("--segment-steps", type=int, default=8,
                    help="decode steps fused per dispatch; higher = fewer host "
                         "syncs/admission boundaries, coarser latency")
-    p.add_argument("--model-class", choices=["1b", "awq8b"], default="1b",
+    p.add_argument("--model-class", choices=["1b", "awq8b", "tiny"], default="1b",
                    help="awq8b = the bench-primary flagship composition "
                         "(8B-AWQ damped target + shared early-exit Int4F "
                         "draft, REAL acceptance) at the promoted serving "
@@ -83,6 +83,19 @@ def main():
         draft = early_exit_runtime(target, exit_layer=EXIT)
         gm = growmap_from_spec(2, 3)
         kv_dtype = "int8"
+    elif args.model_class == "tiny":
+        # CPU smoke of the soak flow itself (metrics plumbing, streaming
+        # cadence collection) — not a perf configuration
+        tiny_cfg = ModelConfig(
+            vocab_size=512, hidden_size=128, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            rope_theta=10000.0, max_position_embeddings=max_len,
+            tie_word_embeddings=True, eos_token_id=-100)
+        target = random_runtime(tiny_cfg, max_len, dtype=jnp.float32, seed=0)
+        draft = random_runtime(tiny_cfg, max_len, dtype=jnp.float32, seed=1)
+        gm = growmap_from_spec(3, 4)
+        kv_dtype = None
+        dtype = jnp.float32
     else:
         target_cfg = ModelConfig(
             vocab_size=128256, hidden_size=2048, intermediate_size=8192,
@@ -107,7 +120,8 @@ def main():
     eng.initialize()
     # warmup compile (prefill buckets + segment) before the timed soak
     rng = np.random.default_rng(0)
-    eng.run([dict(input_ids=rng.integers(0, 120000, size=100).astype(np.int32)
+    vmax = min(120000, target.cfg.vocab_size - 2)
+    eng.run([dict(input_ids=rng.integers(0, vmax, size=100).astype(np.int32)
                   .tolist(), max_new_tokens=16) for _ in range(args.batch)])
 
     # requests route through the Scheduler (priority queue + metrics) in front
@@ -119,6 +133,7 @@ def main():
     lat = []
     t0 = time.time()
     futs = []
+    frame_times = {}  # request idx -> [wall times of partial frames]
     for i in range(args.requests):
         n_prompt = int(rng.integers(args.prompt_min, args.prompt_max))
         n_new = int(rng.integers(args.max_new // 2, args.max_new))
@@ -127,18 +142,29 @@ def main():
         # deliberate inversions; --mixed-priorities exercises the per-class
         # metrics + inversion accounting instead
         prio = (1 if (i % 4 == 0) else 5) if args.mixed_priorities else 1
+        # every 4th request streams: measures frame cadence under load
+        # (partials are emitted once per decode segment — the seg-vs-streaming
+        # granularity tradeoff, VERDICT r4 item 7)
+        ft = frame_times[i] = []
         fut = sched.submit(
             priority=prio,
-            input_ids=rng.integers(0, 120000, size=n_prompt).astype(np.int32)
+            stream_cb=(lambda _t, _p, ft=ft: ft.append(time.time()))
+            if i % 4 == 0 else None,
+            input_ids=rng.integers(0, vmax, size=n_prompt).astype(np.int32)
             .tolist(), max_new_tokens=n_new)
         futs.append((fut, ts, n_new))
         time.sleep(0.02)  # open-loop-ish arrivals
     total_tokens = 0
+    ttfts = []
     for fut, ts, n_new in futs:
         out = fut.result(timeout=600)
         lat.append(time.time() - ts)
         total_tokens += len(out["generated_tokens"])
+        if out.get("ttft_ms", 0) > 0:
+            ttfts.append(out["ttft_ms"])
     wall = time.time() - t0
+    gaps = [b - a for ft in frame_times.values()
+            for a, b in zip(ft, ft[1:])]
     sched_metrics = sched.snapshot_metrics()
     sched.shutdown(wait=False)
     batcher.shutdown()
@@ -157,6 +183,19 @@ def main():
             "latency_p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
             "latency_p90_ms": round(float(np.percentile(lat_ms, 90)), 1),
             "latency_p99_ms": round(float(np.percentile(lat_ms, 99)), 1),
+            # per-request TTFT (submit -> first committed tokens, incl. queue
+            # wait) and streaming-frame cadence on the streamed subset —
+            # both segment-quantized (emit_partials runs once per segment)
+            "ttft_p50_ms": round(float(np.percentile(ttfts, 50)), 1)
+            if ttfts else None,
+            "ttft_p99_ms": round(float(np.percentile(ttfts, 99)), 1)
+            if ttfts else None,
+            "stream_frame_gap_median_ms": round(
+                1000 * float(np.median(gaps)), 1) if gaps else None,
+            "stream_frames_per_request": round(
+                np.mean([len(v) for v in frame_times.values() if v]), 1)
+            if any(frame_times.values()) else None,
+            "segment_steps": args.segment_steps,
             "scheduler_queue_seconds_total": round(sched_metrics["queue_seconds"], 2),
             "scheduler_queue_s_mean": round(
                 sched_metrics["queue_seconds"] / max(sched_metrics["requests"], 1), 3),
