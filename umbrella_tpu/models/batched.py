@@ -261,12 +261,17 @@ def batched_gemma2_forward(
             logits_soft_cap=args.attn_softcap,
             k_scale=kv.k_scale, v_scale=kv.v_scale).reshape(B, S, H * D)
         out = _linear(out, lw["wo"])
+        if args.tp_axis is not None:
+            # row-parallel wo: psum BEFORE post_attn_norm (norms are nonlinear)
+            out = lax.psum(out, args.tp_axis)
         out = gemma_rms_norm(out, lw["post_attn_norm"], args.rms_eps)
         hidden = residual + out
         residual = hidden
         x = gemma_rms_norm(hidden, lw["pre_ff_norm"], args.rms_eps)
         gate = jax.nn.gelu(_linear(x, lw["gate"]), approximate=True)
         mlp = _linear(gate * _linear(x, lw["up"]), lw["down"])
+        if args.tp_axis is not None:  # row-parallel down, ditto
+            mlp = lax.psum(mlp, args.tp_axis)
         mlp = gemma_rms_norm(mlp, lw["post_ff_norm"], args.rms_eps)
         return (residual + mlp, kv), None
 
@@ -281,6 +286,8 @@ def batched_gemma2_forward(
                          preferred_element_type=jnp.float32)
     else:
         logits = jnp.dot(hidden, head, preferred_element_type=jnp.float32)
+        if args.tp_axis is not None:  # vocab-sharded head -> gather full row
+            logits = lax.all_gather(logits, args.tp_axis, axis=-1, tiled=True)
     logits = logits.astype(jnp.float32)
     if args.final_softcap > 0:
         logits = args.final_softcap * jnp.tanh(logits / args.final_softcap)
@@ -327,12 +334,16 @@ def slot_gemma2_forward(
             scale=args.attn_scale, logits_soft_cap=args.attn_softcap,
             k_scale=kv.k_scale, v_scale=kv.v_scale)[0].reshape(S, H * D)
         out = _linear(out, lw["wo"])
+        if args.tp_axis is not None:
+            out = lax.psum(out, args.tp_axis)
         out = gemma_rms_norm(out, lw["post_attn_norm"], args.rms_eps)
         hidden = residual + out
         residual = hidden
         x = gemma_rms_norm(hidden, lw["pre_ff_norm"], args.rms_eps)
         gate = jax.nn.gelu(_linear(x, lw["gate"]), approximate=True)
         mlp = _linear(gate * _linear(x, lw["up"]), lw["down"])
+        if args.tp_axis is not None:
+            mlp = lax.psum(mlp, args.tp_axis)
         mlp = gemma_rms_norm(mlp, lw["post_ff_norm"], args.rms_eps)
         return (residual + mlp, kv), None
 
@@ -347,6 +358,8 @@ def slot_gemma2_forward(
                          preferred_element_type=jnp.float32)
     else:
         logits = jnp.dot(hidden, head, preferred_element_type=jnp.float32)
+        if args.tp_axis is not None:
+            logits = lax.all_gather(logits, args.tp_axis, axis=-1, tiled=True)
     logits = logits.astype(jnp.float32)
     if args.final_softcap > 0:
         logits = args.final_softcap * jnp.tanh(logits / args.final_softcap)

@@ -35,6 +35,10 @@ class GemmaStaticArgs(NamedTuple):
     attn_softcap: float
     final_softcap: float
     sliding_window: int
+    # set to the mesh axis name inside shard_map for tensor-parallel batched
+    # forwards (models/batched.py gemma pair): psum after wo/down BEFORE the
+    # post norms (they are nonlinear), all-gather for a vocab-sharded head
+    tp_axis: str | None = None
 
     @classmethod
     def from_config(cls, cfg: ModelConfig, n_layers: Optional[int] = None) -> "GemmaStaticArgs":

@@ -177,7 +177,8 @@ def shard_runtime(runtime, mesh: Mesh, replicated: bool = False):
         runtime._tp = False
         return runtime
     cfg = runtime.cfg
-    assert runtime.family != "gemma2", "TP forward currently covers the llama family"
+    # gemma2 TP exists for the BATCHED forwards only (tp_batched_forwards);
+    # tp_shard_map_forward (single-slot) still guards against it below
     assert cfg.num_attention_heads % m == 0, "heads must divide model axis"
     assert cfg.num_key_value_heads % m == 0, "kv heads must divide model axis"
     _check_awq_divisibility(runtime.params["layers"], m)
@@ -212,19 +213,30 @@ def tp_batched_forwards(runtime):
     (batched_fwd, slot_fwd) with the engine-facing signatures of
     models/batched.{batched_llama_forward, slot_llama_forward} minus `args`
     (bound here with LOCAL per-shard head counts + the tp collectives)."""
-    from ..models.batched import batched_llama_forward, slot_llama_forward
+    from ..models.batched import (batched_gemma2_forward, batched_llama_forward,
+                                  slot_gemma2_forward, slot_llama_forward)
 
     mesh = runtime._mesh
     m = mesh.shape["model"]
-    args = runtime.args._replace(
-        num_heads=runtime.args.num_heads // m,
-        num_kv_heads=runtime.args.num_kv_heads // m,
-        tp_axis="model")
+    if runtime.family == "gemma2":
+        # same Megatron layout (col wq/wk/wv/gate/up, row wo/down, KV on kv
+        # heads); the gemma pair additionally psums BEFORE the post norms
+        args = runtime.gemma_args._replace(
+            num_heads=runtime.gemma_args.num_heads // m,
+            num_kv_heads=runtime.gemma_args.num_kv_heads // m,
+            tp_axis="model")
+        fwd_all, fwd_slot = batched_gemma2_forward, slot_gemma2_forward
+    else:
+        args = runtime.args._replace(
+            num_heads=runtime.args.num_heads // m,
+            num_kv_heads=runtime.args.num_kv_heads // m,
+            tp_axis="model")
+        fwd_all, fwd_slot = batched_llama_forward, slot_llama_forward
     param_specs = llama_param_specs(runtime.params)
 
     def batched_fwd(params, kv, input_ids, position_ids, attn_mask, write_offsets):
         def local(params, kv, ids, pos, mask, offs):
-            return batched_llama_forward(params, args, kv, ids, pos, mask, offs)
+            return fwd_all(params, args, kv, ids, pos, mask, offs)
 
         return jax.shard_map(
             local, mesh=mesh,
@@ -235,7 +247,7 @@ def tp_batched_forwards(runtime):
 
     def slot_fwd(params, kv, input_ids, position_ids, attn_mask, slot, write_offset):
         def local(params, kv, ids, pos, mask, slot, off):
-            return slot_llama_forward(params, args, kv, ids, pos, mask, slot, off)
+            return fwd_slot(params, args, kv, ids, pos, mask, slot, off)
 
         return jax.shard_map(
             local, mesh=mesh,
@@ -255,6 +267,11 @@ def tp_shard_map_forward(runtime):
     are LOCAL (per-shard)."""
     from ..models.llama import llama_forward
 
+    if runtime.family == "gemma2":
+        raise NotImplementedError(
+            "single-slot TP gemma2 is not wired (the batched engine's "
+            "tp_batched_forwards covers gemma2; use engine 'batched_static' "
+            "with tensor_parallel for a TP gemma2 deployment)")
     mesh = runtime._mesh
     m = mesh.shape["model"]
     args = runtime.args._replace(

@@ -132,11 +132,6 @@ class BatchedStaticEngine:
         assert self.draft_model.supports_fused_phases \
             and self.target_model.supports_fused_phases, \
             "batched engine requires resident (non-offload) models"
-        if "gemma2" in (self.draft_model.family, self.target_model.family):
-            # gemma2 rides its own batched forwards (models/batched.py gemma
-            # pair); TP composition only exists for the llama layouts
-            assert self.tensor_parallel <= 1, \
-                "batched gemma2 does not compose with tensor_parallel"
         if "moe" in (self.draft_model.family, self.target_model.family):
             assert self.tensor_parallel <= 1, \
                 "batched MoE shards experts (expert_parallel), not tensors"
