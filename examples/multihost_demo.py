@@ -64,6 +64,10 @@ def main():
     assert r0["losses"] == r1["losses"] and r0["losses"][-1] < r0["losses"][0]
     assert r0["engine_error"] is None and r1["engine_error"] is None
     assert r0["committed"] == r1["committed"] and len(r0["committed"]) >= 3
+    assert r0["batched_error"] is None and r1["batched_error"] is None, (
+        r0["batched_error"], r1["batched_error"])
+    assert r0["batched"] == r1["batched"]
+    assert all(len(t) >= 6 for t in r0["batched"])
     artifact = {
         "metric": "two_process_dcn_run",
         "ok": True,
@@ -72,9 +76,14 @@ def main():
         "losses": r0["losses"],
         "committed_tokens_identical": True,
         "committed_len": len(r0["committed"]),
+        "batched_serving_tokens_identical": True,
+        "batched_requests": len(r0["batched"]),
         "detail": "jax.distributed.initialize x2 (localhost coordinator), "
                   "(data=2, model=4) multihost mesh TP/SP train step + "
-                  "tensor_parallel=8 engine spanning both processes",
+                  "tensor_parallel=8 engine spanning both processes + "
+                  "TP-8 BATCHED serving stack (B=2 continuous batching, "
+                  "scheduler-priority admission order) with identical "
+                  "per-request tokens on both processes",
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "DCN_2PROC.json"), "w") as f:

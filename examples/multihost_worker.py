@@ -110,13 +110,56 @@ def main():
     except Exception as e:  # keep the train-step evidence even if engine fails
         engine_error = f"{type(e).__name__}: {e}"[:500]
 
+    # ---- 4) TP-batched SERVING stack spanning both processes ----------------
+    # Continuous batching (B slots, multiple admission waves) over a
+    # tensor_parallel=8 mesh whose Megatron collectives cross the process
+    # boundary. Admission ORDER comes from the scheduler's priority rule
+    # (priority, arrival seq) — policy output is a pure function of the
+    # identical request list, so both controllers compute the same plan; the
+    # engine's closed-loop run() then steps deterministically (multi-controller
+    # SPMD requires identical dispatch sequences on every process, which the
+    # timing-driven background batcher thread cannot guarantee).
+    batched = None
+    batched_error = None
+    try:
+        from umbrella_tpu.speculation.auto_engine import AutoEngine
+
+        class _Tok:
+            def decode(self, ids, **kw):
+                return " ".join(str(i) for i in ids)
+
+        beng = AutoEngine.from_config(
+            model=args.ckpt_dir, draft_model=args.ckpt_dir,
+            engine="batched_static", tensor_parallel=2 * args.local_devices,
+            batch_size=2, segment_steps=2,
+            growmap_path="umbrella_tpu/trees/sequoia_tree-3x4.json",
+            max_length=max_len, safe_buffer=32, temperature=0.0,
+            eos_token_ids=[-1], tokenizer=_Tok(), dtype=jnp.float32)
+        beng.initialize()
+        reqs = [dict(input_ids=[1, 2, 3, 4], max_new_tokens=6, _priority=5),
+                dict(input_ids=[9, 8, 7], max_new_tokens=6, _priority=1),
+                dict(input_ids=[5, 5, 5, 5, 5], max_new_tokens=6, _priority=5),
+                dict(input_ids=[2, 4, 6], max_new_tokens=6, _priority=1)]
+        order = sorted(range(len(reqs)),
+                       key=lambda i: (reqs[i]["_priority"], i))
+        res_ord = beng.run([reqs[i] for i in order])
+        res = [None] * len(reqs)
+        for rank, i in enumerate(order):
+            res[i] = res_ord[rank]
+        batched = [r["generated_tokens"] for r in res]
+        assert all(r["time_per_output_token"] > 0 for r in res)
+    except Exception as e:
+        batched_error = f"{type(e).__name__}: {e}"[:500]
+
     with open(args.out, "w") as f:
         json.dump({"process_id": args.process_id,
                    "process_count": jax.process_count(),
                    "global_devices": len(jax.devices()),
                    "losses": losses,
                    "committed": committed,
-                   "engine_error": engine_error}, f)
+                   "engine_error": engine_error,
+                   "batched": batched,
+                   "batched_error": batched_error}, f)
     print("worker", args.process_id, "ok")
 
 

@@ -25,3 +25,8 @@ def test_two_process_dcn_train_and_decode():
     assert r1["engine_error"] is None, r1["engine_error"]
     assert r0["committed"] == r1["committed"]
     assert len(r0["committed"]) >= 3
+    # serving stack: TP-8 BATCHED engine (B=2 continuous batching, scheduler-
+    # priority admission order) — identical per-request tokens on both processes
+    assert r0["batched_error"] is None, r0["batched_error"]
+    assert r0["batched"] == r1["batched"]
+    assert len(r0["batched"]) == 4 and all(len(t) >= 6 for t in r0["batched"])
