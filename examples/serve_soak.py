@@ -32,6 +32,9 @@ def main():
     p.add_argument("--mixed-priorities", action="store_true",
                    help="alternate priority 1/5 to exercise per-class metrics "
                         "and inversion accounting under the batcher lookahead")
+    p.add_argument("--serial-loop", action="store_true",
+                   help="A/B: run the serial fetch->harvest->admit->dispatch "
+                        "loop instead of the lag-1 pipelined default")
     p.add_argument("--segment-steps", type=int, default=8,
                    help="decode steps fused per dispatch; higher = fewer host "
                         "syncs/admission boundaries, coarser latency")
@@ -126,7 +129,7 @@ def main():
 
     # requests route through the Scheduler (priority queue + metrics) in front
     # of the batcher — the full serving composition (api/server "scheduler" key)
-    batcher = ContinuousBatcher(eng)
+    batcher = ContinuousBatcher(eng, pipeline=not args.serial_loop)
     batcher.start()
     sched = make_scheduler(batcher=batcher)
     sched.start()
@@ -196,6 +199,7 @@ def main():
                 np.mean([len(v) for v in frame_times.values() if v]), 1)
             if any(frame_times.values()) else None,
             "segment_steps": args.segment_steps,
+            "loop": "serial" if args.serial_loop else "pipelined",
             "scheduler_queue_seconds_total": round(sched_metrics["queue_seconds"], 2),
             "scheduler_queue_s_mean": round(
                 sched_metrics["queue_seconds"] / max(sched_metrics["requests"], 1), 3),

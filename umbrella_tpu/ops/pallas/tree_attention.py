@@ -306,6 +306,10 @@ def attend_flash_batched(
         lambda b, h, j, nb: (_scalar(nb, 0), _scalar(nb, 1 + b), h,
                              jnp.minimum(j, _nb(nb, b) - 1), 0),
         memory_space=pltpu.VMEM)
+    # KVH < 8 (e.g. gemma-2-2b KVH=4, or TP shards of an 8-KVH model) keeps
+    # the second-to-minor block dim below the fp32 sublane tile; A/B'd on real
+    # v5e (KVH=4 int8, 2026-08): Mosaic pads the sub-tile block and the kernel
+    # matches the dense oracle to normal bf16-accumulation tolerance (~6e-3).
     sc_spec = pl.BlockSpec(
         (1, 1, KVH, bk),
         lambda b, h, j, nb: (_scalar(nb, 0), _scalar(nb, 1 + b), 0,
