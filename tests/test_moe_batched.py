@@ -117,3 +117,18 @@ def test_batched_rejects_moe_tensor_parallel(tmp_path):
     except AssertionError:
         raised = True
     assert raised
+
+
+def test_batched_moe_int8_kv_progresses(tmp_path):
+    """Batched MoE composes with the int8 KV cache (config
+    serve_batched_mixtral_ep.json ships kv_dtype int8): prefix-identical
+    decisions with fp KV on the tiny model, full budget progress."""
+    target, _, hf_cfg = _write_moe_dir(tmp_path)
+    draft, _, _ = _write_moe_dir(tmp_path, "draft", seed=3)
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(0, hf_cfg.vocab_size, size=6).tolist()]
+    fp = _batched_tokens(_config(target, draft), prompts, 8)
+    i8 = _batched_tokens(_config(target, draft, kv_dtype="int8"), prompts, 8)
+    n = min(len(fp[0]), len(i8[0]), 3)
+    assert i8[0][:n] == fp[0][:n]
+    assert len(i8[0]) >= 8
