@@ -28,10 +28,20 @@ def test_quantize_dense_roundtrip():
     q = quantize_int4f(w, group_size=128)
     assert q.w8.shape == (128, 128) and q.a.shape == (256,) and q.b.shape == (128,)
     deq = np.asarray(dequantize_int4f(q, dtype=jnp.float32))
-    # 4-bit symmetric with an exact per-column scale: max error is half a step,
-    # step = a*b per element
+    # The ALS-refined fit (int4f._requantize refine sweeps) deliberately trades
+    # the no-clip half-step worst-case for lower TOTAL error: a column's scale
+    # can shrink so its gaussian tail clips by a few (shrunk) steps. Contract:
+    # (a) elementwise error bounded by a generous step multiple, and (b) the
+    # refined fit beats the one-shot exact-max fit on total squared error.
     step = np.asarray(q.a)[:, None] * np.asarray(q.b)[None, :]
-    assert np.all(np.abs(deq - w) <= 0.5 * step + 1e-6)
+    assert np.all(np.abs(deq - w) <= 8.0 * step + 1e-6)
+    rel = np.sum((deq - w) ** 2) / np.sum(w ** 2)
+    from umbrella_tpu.quantization.int4f import _requantize
+
+    q0 = _requantize(jnp.asarray(w) + 0, q.a, refine=0)
+    deq0 = np.asarray(dequantize_int4f(q0, dtype=jnp.float32))
+    rel0 = np.sum((deq0 - w) ** 2) / np.sum(w ** 2)
+    assert rel < rel0, (rel, rel0)
 
 
 def test_quantize_from_awq_matches_dequant_source():
@@ -43,9 +53,14 @@ def test_quantize_from_awq_matches_dequant_source():
     w_awq = np.asarray(dequantize(awq, dtype=jnp.float32))
     q = quantize_int4f(awq)
     deq = np.asarray(dequantize_int4f(q, dtype=jnp.float32))
-    # Int4F requantizes the AWQ-dequantized values; error bounded by its own step
+    # Int4F requantizes the AWQ-dequantized values; with ALS refinement the
+    # elementwise error is bounded by a generous step multiple (clipped tails,
+    # see dense roundtrip test), and the total squared error tracks the
+    # SOURCE, not the original w
     step = np.asarray(q.a)[:, None] * np.asarray(q.b)[None, :]
-    assert np.all(np.abs(deq - w_awq) <= 0.5 * step + 1e-6)
+    assert np.all(np.abs(deq - w_awq) <= 8.0 * step + 1e-6)
+    rel = np.sum((deq - w_awq) ** 2) / np.sum(w_awq ** 2)
+    assert rel < 0.03, rel
 
 
 def test_quantize_chunked_matches_whole():
