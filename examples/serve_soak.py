@@ -32,6 +32,9 @@ def main():
     p.add_argument("--mixed-priorities", action="store_true",
                    help="alternate priority 1/5 to exercise per-class metrics "
                         "and inversion accounting under the batcher lookahead")
+    p.add_argument("--no-scheduler", action="store_true",
+                   help="A/B: submit straight into the ContinuousBatcher "
+                        "(isolates the scheduler layer's cost)")
     p.add_argument("--serial-loop", action="store_true",
                    help="A/B: run the serial fetch->harvest->admit->dispatch "
                         "loop instead of the lag-1 pipelined default")
@@ -131,8 +134,10 @@ def main():
     # of the batcher — the full serving composition (api/server "scheduler" key)
     batcher = ContinuousBatcher(eng, pipeline=not args.serial_loop)
     batcher.start()
-    sched = make_scheduler(batcher=batcher)
-    sched.start()
+    sched = None
+    if not args.no_scheduler:
+        sched = make_scheduler(batcher=batcher)
+        sched.start()
     lat = []
     t0 = time.time()
     futs = []
@@ -149,12 +154,15 @@ def main():
         # (partials are emitted once per decode segment — the seg-vs-streaming
         # granularity tradeoff, VERDICT r4 item 7)
         ft = frame_times[i] = []
-        fut = sched.submit(
-            priority=prio,
-            stream_cb=(lambda _t, _p, ft=ft: ft.append(time.time()))
-            if i % 4 == 0 else None,
+        cb = (lambda _t, _p, ft=ft: ft.append(time.time())) if i % 4 == 0 \
+            else None
+        req_kw = dict(
             input_ids=rng.integers(0, vmax, size=n_prompt).astype(np.int32)
             .tolist(), max_new_tokens=n_new)
+        if sched is not None:
+            fut = sched.submit(priority=prio, stream_cb=cb, **req_kw)
+        else:
+            fut = batcher.submit(stream_cb=cb, **req_kw)
         futs.append((fut, ts, n_new))
         time.sleep(0.02)  # open-loop-ish arrivals
     total_tokens = 0
@@ -168,8 +176,11 @@ def main():
     wall = time.time() - t0
     gaps = [b - a for ft in frame_times.values()
             for a, b in zip(ft, ft[1:])]
-    sched_metrics = sched.snapshot_metrics()
-    sched.shutdown(wait=False)
+    sched_metrics = (sched.snapshot_metrics() if sched is not None else
+                     {"queue_seconds": 0.0, "requests": 0,
+                      "priority_inversions": 0, "by_priority": {}})
+    if sched is not None:
+        sched.shutdown(wait=False)
     batcher.shutdown()
 
     lat_ms = np.sort(np.asarray(lat) * 1000)

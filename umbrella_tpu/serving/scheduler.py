@@ -213,14 +213,19 @@ def make_scheduler(engine=None, batcher=None, workers: Optional[int] = None
     """Scheduler over a single engine OR a ContinuousBatcher. The serving-layer
     composition: priorities and queue metrics in front of either backend.
 
-    Batcher workers default to batch_size + 2: B workers keep all slots fed and
-    the +2 LOOKAHEAD keeps a couple of requests already queued inside the
-    batcher, so a freed slot re-admits at the very next segment boundary
-    instead of waiting a worker wakeup round-trip (measured on v5e, 32-request
-    open-load soak at B=8: p50 6.2 s with exactly-B workers vs 4.6 s direct;
-    lookahead closes the gap at the cost of at most 2 priority inversions)."""
+    Batcher workers default to batch_size + max(2, batch_size // 4): B workers
+    keep all slots fed and the LOOKAHEAD keeps requests already queued inside
+    the batcher, so freed slots re-admit at the very next segment boundary
+    instead of waiting a worker wakeup round-trip (measured on v5e: 32-request
+    open-load soak at B=8 p50 6.2 s with exactly-B workers vs 4.6 s direct; at
+    B=32 seg=8 a +2 lookahead starves readmission — ~4-5 slots free per
+    segment but only 2 staged requests are ready — costing ~25% of burst
+    throughput vs B//4). The lookahead bounds the worst-case priority
+    inversions per better-priority arrival at its size; raise `workers` for
+    throughput, lower it for stricter priority ordering."""
     if batcher is not None:
-        n = workers or (getattr(batcher.engine, "batch_size", 4) + 2)
+        B = getattr(batcher.engine, "batch_size", 4)
+        n = workers or (B + max(2, B // 4))
         return Scheduler([BatcherBackend(batcher)] * n)
     assert engine is not None
     if workers and workers > 1:
