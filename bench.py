@@ -105,7 +105,14 @@ def main():
     # W4A16 — the target remains a 4-bit-weight 8B end to end.
     from umbrella_tpu.quantization.int4f import hybridize_shared_prefix
 
-    target8.params = hybridize_shared_prefix(target8.params, EXIT)
+    # refine=0 (one-shot exact-max fit) for the SHARED prefix: the ALS sweeps
+    # optimize weight-space fidelity, which is the FULL-Int4F row's objective
+    # (agreement vs the AWQ target, 0.844 -> 0.914 measured) but not the
+    # primary's — here the prefix is bit-shared either way and what matters is
+    # how well the truncated prefix PREDICTS the AWQ-tail target. A/B on v5e
+    # (2026-08-22, 512-token runs): refine 0 = 235.6 tok/s accept 5.26,
+    # refine 16 = 222.4 accept 4.99 at identical step time.
+    target8.params = hybridize_shared_prefix(target8.params, EXIT, refine=0)
     target8 = ModelRuntime(awq_cfg, target8.params, max_len, dtype=dtype)
     draft_ee = early_exit_runtime(target8, exit_layer=EXIT)
 
@@ -534,6 +541,8 @@ def main():
             outs_pb = [f.result(timeout=600) for f in futs]
             dtpb = time.time() - tpb
             batcher.shutdown()
+            del batcher  # still references beng16 (4.3 GB of B=32 KV) —
+            # keeping it alive OOM'd the stochastic + 70B rows downstream
             total_pb = sum(len(o["generated_tokens"]) for o in outs_pb)
             ttfts = [o["ttft_ms"] for o in outs_pb if o.get("ttft_ms", 0) > 0]
             b8_detail.update({

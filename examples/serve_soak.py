@@ -84,7 +84,7 @@ def main():
             dl[k] = tuple(q._replace(scales=q.scales * 0.05) if i >= EXIT else q
                           for i, q in enumerate(dl[k]))
         target.params = hybridize_shared_prefix(
-            dict(target.params, layers=dl), EXIT)
+            dict(target.params, layers=dl), EXIT, refine=0)  # match bench primary
         target = ModelRuntime(awq_cfg, target.params, max_len, dtype=dtype)
         draft = early_exit_runtime(target, exit_layer=EXIT)
         gm = growmap_from_spec(2, 3)

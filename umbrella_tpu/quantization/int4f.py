@@ -80,8 +80,9 @@ def _log_row_factor(m: jnp.ndarray) -> jnp.ndarray:
                             axis=-1))
 
 
-@functools.partial(jax.jit, static_argnames=("group_size",))
-def _quantize_dense(w: jnp.ndarray, group_size: int) -> Int4FTensor:
+@functools.partial(jax.jit, static_argnames=("group_size", "refine"))
+def _quantize_dense(w: jnp.ndarray, group_size: int,
+                    refine: int = 16) -> Int4FTensor:
     K, N = w.shape
     group_size = min(group_size, K)  # tiny test matrices: one group per column
     assert K % group_size == 0 and K % 2 == 0, (K, group_size)
@@ -89,7 +90,7 @@ def _quantize_dense(w: jnp.ndarray, group_size: int) -> Int4FTensor:
     m = jnp.max(jnp.abs(wf.reshape(K // group_size, group_size, N)), axis=1)
     a_g = _log_row_factor(m)  # [G]
     a = jnp.repeat(a_g, group_size)  # [K]
-    return _requantize(wf, a)
+    return _requantize(wf, a, refine=refine)
 
 
 @functools.partial(jax.jit, static_argnames=("refine",))
@@ -137,7 +138,8 @@ def _requantize(wf: jnp.ndarray, a: jnp.ndarray,
     return Int4FTensor(w8=w8, a=a.astype(jnp.float32), b=b.astype(jnp.float32))
 
 
-def quantize_int4f(w, group_size: int = 128, n_chunk: int = 8192) -> Int4FTensor:
+def quantize_int4f(w, group_size: int = 128, n_chunk: int = 8192,
+                   refine: int = 16) -> Int4FTensor:
     """Quantize a dense [K, N] weight or an AwqTensor to Int4F (device-side).
 
     AWQ sources are requantized from their dequantized values in N-chunks so the
@@ -151,18 +153,20 @@ def quantize_int4f(w, group_size: int = 128, n_chunk: int = 8192) -> Int4FTensor
         a = jnp.repeat(a_g, w.group_size)  # [K]
         N = w.n
         if N <= n_chunk:
-            return _requantize(dequantize(w, dtype=jnp.float32), a)
+            return _requantize(dequantize(w, dtype=jnp.float32), a,
+                               refine=refine)
         parts = []
         for n0 in range(0, N, n_chunk):
             chunk = AwqTensor(w8=w.w8[:, n0:n0 + n_chunk],
                               scales=w.scales[:, n0:n0 + n_chunk],
                               zeros=w.zeros[:, n0:n0 + n_chunk])
-            parts.append(_requantize(dequantize(chunk, dtype=jnp.float32), a))
+            parts.append(_requantize(dequantize(chunk, dtype=jnp.float32), a,
+                                     refine=refine))
         return Int4FTensor(
             w8=jnp.concatenate([p.w8 for p in parts], axis=1),
             a=parts[0].a,
             b=jnp.concatenate([p.b for p in parts], axis=0))
-    return _quantize_dense(jnp.asarray(w), group_size)
+    return _quantize_dense(jnp.asarray(w), group_size, refine=refine)
 
 
 def dequantize_int4f(q: Int4FTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -217,7 +221,7 @@ def quantize_params_int4f(params: dict, group_size: int = 128,
 
 
 def hybridize_shared_prefix(params: dict, n_prefix: int, group_size: int = 128,
-                            head: bool = True) -> dict:
+                            head: bool = True, refine: int = 16) -> dict:
     """Convert the FIRST n_prefix layers' linears (and the lm_head) of a
     quantized param pytree to Int4F, leaving later layers untouched.
 
@@ -237,8 +241,8 @@ def hybridize_shared_prefix(params: dict, n_prefix: int, group_size: int = 128,
         v = src[name]
         assert isinstance(v, tuple), "hybridize expects per-layer tuples"
         out_layers[name] = tuple(
-            quantize_int4f(t, group_size) if (i < n_prefix
-                                              and not isinstance(t, Int4FTensor))
+            quantize_int4f(t, group_size, refine=refine)
+            if (i < n_prefix and not isinstance(t, Int4FTensor))
             else t
             for i, t in enumerate(v))
     out = dict(params)
@@ -246,7 +250,7 @@ def hybridize_shared_prefix(params: dict, n_prefix: int, group_size: int = 128,
     if head:
         h = params.get("lm_head")
         if h is not None and not isinstance(h, Int4FTensor):
-            out["lm_head"] = quantize_int4f(h, group_size)
+            out["lm_head"] = quantize_int4f(h, group_size, refine=refine)
     return out
 
 
