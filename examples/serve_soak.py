@@ -46,7 +46,8 @@ def main():
                         "(8B-AWQ damped target + shared early-exit Int4F "
                         "draft, REAL acceptance) at the promoted serving "
                         "point: int8 KV, 2x3 tree — measures per-request "
-                        "latency percentiles at the 908-tok/s aggregate row")
+                        "latency percentiles at the BENCH_DETAIL B=32 rows "
+                        "(1043 run(), 1327 pipelined batcher)")
     args = p.parse_args()
 
     import jax
