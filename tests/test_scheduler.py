@@ -148,3 +148,18 @@ def test_batcher_fifo_inversion_reported_at_admission():
         assert calls["C"] is False
     finally:
         batcher.shutdown()
+
+
+def test_make_scheduler_lookahead_scales_with_batch():
+    """Batcher workers default to B + max(2, B // 4): the flat +2 lookahead
+    starved readmission at B=32 (~4-5 slots free per segment, only 2 staged
+    requests ready — measured 519 vs 556 tok/s on v5e, round 5)."""
+    from umbrella_tpu.serving.scheduler import make_scheduler
+
+    class _B:
+        def __init__(self, b):
+            self.engine = type("E", (), {"batch_size": b})()
+
+    assert len(make_scheduler(batcher=_B(4)).engines) == 6
+    assert len(make_scheduler(batcher=_B(32)).engines) == 40
+    assert len(make_scheduler(batcher=_B(8), workers=5).engines) == 5
