@@ -21,8 +21,10 @@ the primary), the round-1/2
 separate 500M W4 draft (structural step time at the acceptance floor),
 continuous batching aggregate at B=8 (1B) and at the 8B primary composition
 with real acceptance (B=8 bf16-KV control + B=32 int8-KV full-context serving
-row), dynamic-engine step, and the 70B-AWQ slope/TP/PP/offload extrapolations
-incl. a TP4 sharded continuous batching projection (north-star config[4]).
+row, best of 2, greedy AND stochastic + the lag-1 PIPELINED-batcher serving
+row — the full policy-stack path, which beats serial run()), dynamic-engine
+step, and the 70B-AWQ slope/TP/PP/offload extrapolations incl. a TP4 sharded
+continuous batching projection (north-star config[4]).
 """
 import json
 import sys
