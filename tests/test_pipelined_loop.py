@@ -119,3 +119,51 @@ def test_pipelined_stochastic_and_eos_smoke():
     for r, q in zip(out, reqs):
         assert 1 <= len(r["generated_tokens"]) <= q["max_new_tokens"] + 1
         assert r["time_per_output_token"] > 0
+
+
+def test_loop_crash_fails_futures_fast():
+    """Failure detection: if the serving loop thread dies (e.g. a compile
+    error at a new shape — how the int4f VMEM bug actually presented), every
+    in-flight AND queued request gets the exception immediately instead of
+    clients hanging until their own timeouts."""
+    eng = _engine()
+
+    def boom(*a, **k):
+        raise RuntimeError("injected compile failure")
+
+    eng.step_many_async = boom
+    batcher = ContinuousBatcher(eng, pipeline=True)
+    batcher.start()
+    try:
+        futs = [batcher.submit(input_ids=[3, 1, 4], max_new_tokens=16)
+                for _ in range(5)]
+        for f in futs:
+            try:
+                f.result(timeout=60)
+                raised = False
+            except RuntimeError as e:
+                raised = "injected compile failure" in str(e)
+            assert raised
+    finally:
+        batcher.shutdown()
+
+
+def test_loop_crash_fails_futures_fast_serial():
+    eng = _engine()
+
+    def boom(*a, **k):
+        raise RuntimeError("injected failure")
+
+    eng.step_many = boom
+    batcher = ContinuousBatcher(eng, pipeline=False)
+    batcher.start()
+    try:
+        fut = batcher.submit(input_ids=[3, 1, 4], max_new_tokens=16)
+        try:
+            fut.result(timeout=60)
+            ok = False
+        except RuntimeError:
+            ok = True
+        assert ok
+    finally:
+        batcher.shutdown()

@@ -991,8 +991,36 @@ class ContinuousBatcher:
 
     def start(self):
         target = self._loop_pipelined if self.pipeline else self._loop
-        self._thread = threading.Thread(target=target, daemon=True)
+        self._thread = threading.Thread(
+            target=functools.partial(self._guarded, target), daemon=True)
         self._thread.start()
+
+    def _guarded(self, loop):
+        """Failure detection for the serving loop: if the loop thread dies
+        (e.g. a compile error surfacing at a new shape — a 512-token prefill
+        chunk VMEM-OOM'd the int4f kernel on v5e before the token cap), every
+        in-flight and queued request gets the exception IMMEDIATELY instead of
+        clients hanging until their own future timeouts (how the bug actually
+        presented). The loop publishes its slot tracker on self._st."""
+        try:
+            loop()
+        except BaseException as e:  # noqa: B036 — deliver even SystemExit
+            logger.exception("serving loop crashed; failing in-flight requests")
+            st = getattr(self, "_st", None)
+            futs = []
+            if st is not None:
+                futs += [tag for (tag, _req) in st.slot_req.values()]
+                futs += [tag for (_a, tag, _req) in st.pending.values()]
+            with self._lock:
+                while self._queue:
+                    _req, fut = self._queue.popleft()
+                    futs.append(fut)
+            for fut in futs:
+                try:
+                    fut.set_exception(e)
+                except Exception:
+                    pass  # already resolved/cancelled
+            raise
 
     def submit(self, **request) -> Future:
         fut: Future = Future()
@@ -1049,7 +1077,7 @@ class ContinuousBatcher:
 
     def _loop(self):
         eng = self.engine
-        st = _SlotTracker(eng)
+        st = self._st = _SlotTracker(eng)
         per_boundary = max(1, int(getattr(eng, "prefill_chunks_per_segment", 1)))
         while not self._stop.is_set():
             occupied = st.occupied()
@@ -1102,7 +1130,7 @@ class ContinuousBatcher:
         _SlotTracker: explicit slot_start at _register, the slot_steps==0
         harvest guard, and the first_tok_t guard."""
         eng = self.engine
-        st = _SlotTracker(eng)
+        st = self._st = _SlotTracker(eng)
         per_boundary = max(1, int(getattr(eng, "prefill_chunks_per_segment", 1)))
         inflight = None       # handle of the segment dispatched last iteration
         act_inflight = False  # did activations ride it? (dispatch-needed bound)
