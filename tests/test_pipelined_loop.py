@@ -167,3 +167,81 @@ def test_loop_crash_fails_futures_fast_serial():
         assert ok
     finally:
         batcher.shutdown()
+
+
+def test_stream_no_cross_request_leak_on_slot_reuse():
+    """Code-review find (round 5): in the pipelined loop a reused slot's first
+    emit could stream the PREVIOUS occupant's tokens (stale num_nodes before
+    the new request's first active segment syncs) and then clamp `emitted` so
+    the real frames never flowed. Every frame must be a prefix of the
+    request's own final tokens."""
+    from test_api_server import _FakeTokenizer
+
+    eng = _engine(batch_size=2, segment_steps=2)
+    eng.tokenizer = _FakeTokenizer()
+    batcher = ContinuousBatcher(eng, pipeline=True)
+    batcher.start()
+    try:
+        # R0 occupies slot 0 for a while; R1 finishes fast and frees a slot
+        f0 = batcher.submit(input_ids=[7] * 30, max_new_tokens=96)
+        f1 = batcher.submit(input_ids=[9] * 20, max_new_tokens=8)
+        f1.result(timeout=300)
+        frames = []
+        f2 = batcher.submit(input_ids=[3, 1, 4], max_new_tokens=40,
+                            stream_cb=lambda t, p: frames.append(t))
+        r2 = f2.result(timeout=300)
+        f0.result(timeout=300)
+    finally:
+        batcher.shutdown()
+    final = r2["generated_tokens"]
+    assert frames, "streaming request got no frames"
+    for t in frames:
+        ids = [int(x) for x in t.split()] if t else []
+        assert ids == final[: len(ids)], (ids[:8], final[:8])
+
+
+def test_engine_reusable_after_pipelined_batcher():
+    """Code-review find: device-carried nn/active must be dropped when the
+    pipelined loop exits — a later run()/step_many seeds from the host
+    mirrors, and stale carried state silently ignored fresh admissions."""
+    eng = _engine()
+    batcher = ContinuousBatcher(eng, pipeline=True)
+    batcher.start()
+    try:
+        batcher.submit(input_ids=[5, 2, 8], max_new_tokens=12).result(
+            timeout=300)
+    finally:
+        batcher.shutdown()
+    res = eng.run([dict(input_ids=[1, 2, 3], max_new_tokens=10)])
+    assert res[0] is not None
+    assert len(res[0]["generated_tokens"]) >= 10
+
+
+def test_submit_after_crash_fails_fast():
+    """Code-review find: after the loop thread dies, submit() must fail the
+    new future immediately (nothing will ever drain the queue)."""
+    eng = _engine()
+
+    def boom(*a, **k):
+        raise RuntimeError("injected failure")
+
+    eng.step_many_async = boom
+    batcher = ContinuousBatcher(eng, pipeline=True)
+    batcher.start()
+    try:
+        f1 = batcher.submit(input_ids=[3, 1, 4], max_new_tokens=8)
+        try:
+            f1.result(timeout=60)
+        except RuntimeError:
+            pass
+        time.sleep(0.2)  # let _guarded finish flagging
+        f2 = batcher.submit(input_ids=[3, 1, 4], max_new_tokens=8)
+        t0 = time.time()
+        try:
+            f2.result(timeout=60)
+            ok = False
+        except RuntimeError:
+            ok = True
+        assert ok and time.time() - t0 < 5
+    finally:
+        batcher.shutdown()

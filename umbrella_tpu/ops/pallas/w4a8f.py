@@ -169,34 +169,40 @@ def w4a8f_matmul_xla(x: jnp.ndarray, q, out_dtype=None) -> jnp.ndarray:
 
 
 # Kernel token cap: the int8 kernel's VMEM working set scales with S_pad
-# (xq lo/hi + int32 acc + bf16 out blocks, all [S_pad, *]). It is tuned for
-# DECODE token counts (S <= 128, tree-sized); at a 512-token prefill chunk it
-# exceeds the ~16 MB scoped-vmem budget (measured on v5e 2026-08-22: "16.16M
-# vs limit 16.00M" compile failure at [512, 2048]x[4096, 6144]). Prefill-sized
-# calls dequantize to bf16 and ride the MXU dense instead — at many tokens the
-# matmul is MXU-throughput-bound and the int8 rate advantage is irrelevant
-# (same tradeoff as quantization/awq.FP16_MATMUL_HEURISTIC_TOKENS).
-INT8_KERNEL_MAX_TOKENS = 256
+# (xq lo/hi + int32 acc + bf16 out blocks, all [S_pad, *]). At a 512-token
+# prefill chunk it exceeds the ~16 MB scoped-vmem budget (measured on v5e
+# 2026-08-22: "16.16M vs limit 16.00M" compile failure at
+# [512, 2048]x[4096, 6144]); linear S_pad scaling puts 384 at ~12 MB — safe —
+# and 384 keeps every documented batched-DECODE point on the int8 kernel
+# (B x tree_size tops out at 288 verify tokens for the promoted B=32-48 x 2x3
+# serving rows, which compiled and ran at the recorded 1043/1327 tok/s).
+# Above the cap (prefill-sized calls only) dequantize to bf16 and ride the
+# MXU dense — at many tokens the matmul is MXU-throughput-bound and the int8
+# rate advantage is irrelevant (same tradeoff as
+# quantization/awq.FP16_MATMUL_HEURISTIC_TOKENS). The CPU branch mirrors the
+# SAME routing so engine tests exercise the same per-phase numerics the TPU
+# runs (int8-exact at decode sizes, dequant-dense at prefill sizes).
+INT8_KERNEL_MAX_TOKENS = 384
 
 
 def int4f_matmul(x: jnp.ndarray, q, bias=None, out_dtype=None) -> jnp.ndarray:
     """Shape-flexible entry: x [..., K] -> [..., N]; int8 kernel on TPU at
-    decode token counts, dequant+bf16 dense above INT8_KERNEL_MAX_TOKENS,
-    exact XLA emulation elsewhere."""
+    decode token counts, dequant+bf16 dense above INT8_KERNEL_MAX_TOKENS
+    (mirrored on CPU), exact XLA emulation elsewhere."""
     import numpy as np
 
     tokens = int(np.prod(x.shape[:-1]))
     x2 = x.reshape(tokens, x.shape[-1])
-    if jax.default_backend() in ("tpu", "axon"):
-        if tokens <= INT8_KERNEL_MAX_TOKENS:
-            y = w4a8f_matmul(x2, q, out_dtype=out_dtype)
-        else:
-            from ...quantization.int4f import dequantize_int4f
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if tokens > INT8_KERNEL_MAX_TOKENS:
+        from ...quantization.int4f import dequantize_int4f
 
-            w = dequantize_int4f(q, dtype=jnp.bfloat16)
-            y = jnp.dot(x2.astype(jnp.bfloat16), w,
-                        preferred_element_type=jnp.float32) \
-                .astype(out_dtype or x.dtype)
+        w = dequantize_int4f(q, dtype=jnp.bfloat16)
+        y = jnp.dot(x2.astype(jnp.bfloat16), w,
+                    preferred_element_type=jnp.float32) \
+            .astype(out_dtype or x.dtype)
+    elif on_tpu:
+        y = w4a8f_matmul(x2, q, out_dtype=out_dtype)
     else:
         y = w4a8f_matmul_xla(x2, q, out_dtype=out_dtype)
     y = y.reshape(*x.shape[:-1], q.n)

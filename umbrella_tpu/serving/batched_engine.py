@@ -882,6 +882,13 @@ class _SlotTracker:
             cb = req.get("stream_cb")
             if cb is None:
                 continue
+            if self.slot_steps[b] == 0:
+                # pipelined loop: until this slot's first ACTIVE segment has
+                # synced, num_nodes/tokens_host may still show the PREVIOUS
+                # occupant's data — emitting would leak another request's
+                # tokens into this stream (and clamp `emitted` so the real
+                # frames never flow). Same stale-mirror guard as harvest.
+                continue
             end = min(int(eng.num_nodes[b]), self.slot_start[b] + self.max_new[b])
             ntok = end - self.slot_start[b]
             if ntok <= self.emitted.get(b, 0):
@@ -988,6 +995,7 @@ class ContinuousBatcher:
         self._wake = threading.Event()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._crashed: Optional[BaseException] = None
 
     def start(self):
         target = self._loop_pipelined if self.pipeline else self._loop
@@ -1012,6 +1020,9 @@ class ContinuousBatcher:
                 futs += [tag for (tag, _req) in st.slot_req.values()]
                 futs += [tag for (_a, tag, _req) in st.pending.values()]
             with self._lock:
+                # flag FIRST (under the lock): submit() fails fast from here
+                # on, so nothing can enqueue after this drain
+                self._crashed = e
                 while self._queue:
                     _req, fut = self._queue.popleft()
                     futs.append(fut)
@@ -1028,6 +1039,11 @@ class ContinuousBatcher:
         # its own queue-entry time so TTFT includes scheduler-queue wait)
         request.setdefault("_submit_time", time.time())
         with self._lock:
+            if self._crashed is not None:
+                # the loop thread is dead — nothing will ever drain the queue;
+                # fail NOW instead of letting the client wait out its timeout
+                fut.set_exception(self._crashed)
+                return fut
             self._queue.append((request, fut))
         self._wake.set()
         return fut
@@ -1079,6 +1095,15 @@ class ContinuousBatcher:
         eng = self.engine
         st = self._st = _SlotTracker(eng)
         per_boundary = max(1, int(getattr(eng, "prefill_chunks_per_segment", 1)))
+        try:
+            self._run_serial(eng, st, per_boundary)
+        finally:
+            # reusable-exit guarantee (see _loop_pipelined): aborted requests'
+            # slots are freed for the next user of this engine
+            eng._dev_nn = eng._dev_active = None
+            eng.active[:] = False
+
+    def _run_serial(self, eng, st, per_boundary):
         while not self._stop.is_set():
             occupied = st.occupied()
             for b in range(eng.batch_size):
@@ -1132,6 +1157,28 @@ class ContinuousBatcher:
         eng = self.engine
         st = self._st = _SlotTracker(eng)
         per_boundary = max(1, int(getattr(eng, "prefill_chunks_per_segment", 1)))
+        self._inflight = None
+        try:
+            self._run_pipelined(eng, st, per_boundary)
+        finally:
+            # Hand the engine back in a reusable state: sync any in-flight
+            # segment, drop the device-carried nn/active (serial callers —
+            # run(), step_many, a restarted batcher — seed from the host
+            # mirrors; stale carried state would silently ignore their
+            # admissions), and free the slots of aborted requests (their
+            # futures are failed/cancelled by shutdown; the admission scratch
+            # guard makes the leftover rows safe to overwrite).
+            inflight = getattr(self, "_inflight", None)
+            if inflight is not None:
+                try:
+                    eng.sync_segment(inflight)
+                except Exception:
+                    logger.exception("final segment sync failed")
+            self._inflight = None
+            eng._dev_nn = eng._dev_active = None
+            eng.active[:] = False
+
+    def _run_pipelined(self, eng, st, per_boundary):
         inflight = None       # handle of the segment dispatched last iteration
         act_inflight = False  # did activations ride it? (dispatch-needed bound)
         set_nn = {}           # staged admission guards for the next dispatch
@@ -1160,7 +1207,7 @@ class ContinuousBatcher:
                 for _b, fut, result in st.harvest(steps_seg):
                     fut.set_result(result)
                 st.emit_partials()
-            inflight = handle
+            inflight = self._inflight = handle
             # 3. stage admissions into free slots (freed by the just-synced
             # segment at the earliest)
             occupied = st.occupied()
