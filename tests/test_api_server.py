@@ -100,3 +100,38 @@ def test_server_continuous_batching_concurrent_clients():
             assert n >= 8 and got[:n] == list(ref)[:n], (i, got, ref)
     finally:
         server.shutdown()
+
+
+def test_server_worker_survives_generate_failure():
+    """A request that makes generate() raise must fail THAT client with an
+    error result — not kill the single worker thread (which would leave every
+    later request queued forever; the regression this guards against)."""
+
+    class _FlakyEngine:
+        def __init__(self):
+            self.calls = 0
+
+        def generate(self, **req):
+            self.calls += 1
+            if req.get("boom"):
+                raise RuntimeError("injected generate failure")
+            return {"generated_text": "ok", "generated_tokens": [1, 2, 3],
+                    "avg_accept_tokens": 1.0, "time_per_output_token": 1.0}
+
+    eng = _FlakyEngine()
+    server = APIServer(config={}, port=0, engine=eng)
+    server.start()
+    try:
+        client = APIClient(port=server.port, retry_seconds=0.2)
+        client.run()
+        bad = client.get_output(boom=True)
+        assert bad["processed"] is False
+        assert "injected generate failure" in bad["error"]
+        # the worker must still be alive: a second request completes normally
+        good = client.get_output(max_new_tokens=4)
+        assert good["processed"] is True
+        assert good["generated_tokens"] == [1, 2, 3]
+        assert eng.calls == 2
+        client.close()
+    finally:
+        server.shutdown()

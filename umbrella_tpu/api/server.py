@@ -138,16 +138,29 @@ class APIServer:
                 return
             addr, conn, message, stream_cb, req_id, send_lock = item
             with self.queue_lock:
-                if stream_cb is not None:
-                    partial = perf = None
-                    for partial, perf in self.engine.generate_stream(**message):
-                        stream_cb(partial, perf)
-                    output = perf if isinstance(perf, dict) else {
-                        "generated_text": partial or "", "perf": perf}
-                else:
-                    output = self.engine.generate(**message)
-                processed = {**output, "processed": True,
-                             "response": "Processed successfully"}
+                # A failing generate (bad request args, a compile error at a
+                # new shape) must fail THAT client, not kill this worker
+                # thread — an uncaught exception here would leave every later
+                # request sitting in the queue forever (the batched path's
+                # ContinuousBatcher._guarded makes the same guarantee).
+                try:
+                    if stream_cb is not None:
+                        partial = perf = None
+                        for partial, perf in self.engine.generate_stream(**message):
+                            stream_cb(partial, perf)
+                        output = perf if isinstance(perf, dict) else {
+                            "generated_text": partial or "", "perf": perf}
+                    else:
+                        output = self.engine.generate(**message)
+                    processed = {**output, "processed": True,
+                                 "response": "Processed successfully"}
+                except Exception as e:
+                    logger.exception("generate failed for %s", addr)
+                    processed = {
+                        "processed": False,
+                        "error": f"{type(e).__name__}: {e}",
+                        "generated_text": "", "generated_tokens": [],
+                        "avg_accept_tokens": 0, "time_per_output_token": 0}
                 if req_id is not None:
                     processed["req_id"] = req_id
                 try:
