@@ -245,3 +245,51 @@ def test_submit_after_crash_fails_fast():
         assert ok and time.time() - t0 < 5
     finally:
         batcher.shutdown()
+
+
+def test_shutdown_fails_unfinished_futures():
+    """shutdown() must resolve every future the loop never finished (in-flight
+    slots, staged admissions, queued requests) — a client blocked on
+    fut.result() across a shutdown must not hang until its own timeout."""
+    eng = _engine(segment_steps=2)
+    batcher = ContinuousBatcher(eng, pipeline=True)
+    batcher.start()
+    # big budgets so the requests are still decoding at shutdown time
+    futs = [batcher.submit(input_ids=[3 + i, 1, 4], max_new_tokens=4096)
+            for i in range(6)]
+    time.sleep(0.3)  # let some enter slots, leave the rest queued
+    batcher.shutdown()
+    t0 = time.time()
+    for f in futs:
+        try:
+            f.result(timeout=30)
+            ok = False  # finishing 4096 tokens in 0.3s is impossible here
+        except RuntimeError as e:
+            ok = "shut down" in str(e)
+        assert ok
+    assert time.time() - t0 < 10, "futures resolved by timeout, not shutdown"
+    # fail-fast for post-shutdown submits
+    try:
+        batcher.submit(input_ids=[1, 2], max_new_tokens=4).result(timeout=30)
+        ok = False
+    except RuntimeError as e:
+        ok = "shut down" in str(e)
+    assert ok
+
+
+def test_batcher_restart_after_clean_shutdown():
+    """start() after a clean shutdown() must serve again (stale stop/shutdown
+    flags cleared; engine handed back reusable by the loop's exit path)."""
+    eng = _engine()
+    batcher = ContinuousBatcher(eng, pipeline=True)
+    batcher.start()
+    r1 = batcher.submit(input_ids=[5, 2, 8], max_new_tokens=8).result(
+        timeout=300)
+    batcher.shutdown()
+    batcher.start()
+    try:
+        r2 = batcher.submit(input_ids=[5, 2, 8], max_new_tokens=8).result(
+            timeout=300)
+    finally:
+        batcher.shutdown()
+    assert r1["generated_tokens"] == r2["generated_tokens"]

@@ -973,6 +973,12 @@ class _SlotTracker:
         return done
 
 
+class _ShutdownError(RuntimeError):
+    """Raised into futures the ContinuousBatcher could not finish before
+    shutdown (distinct from a loop crash: start() clears this flag so a
+    restarted batcher accepts new work)."""
+
+
 class ContinuousBatcher:
     """Thread-safe submit()/Future wrapper around BatchedStaticEngine.run-style
     stepping: one background thread admits queued requests into free slots and
@@ -998,6 +1004,13 @@ class ContinuousBatcher:
         self._crashed: Optional[BaseException] = None
 
     def start(self):
+        # restart support: a batcher shut down cleanly may be started again
+        # (the loop's exit path hands the engine back reusable); stale stop /
+        # shutdown flags from the previous run must not kill the new loop or
+        # fail its submits
+        self._stop.clear()
+        if isinstance(self._crashed, _ShutdownError):
+            self._crashed = None
         target = self._loop_pipelined if self.pipeline else self._loop
         self._thread = threading.Thread(
             target=functools.partial(self._guarded, target), daemon=True)
@@ -1053,6 +1066,31 @@ class ContinuousBatcher:
         self._wake.set()
         if self._thread:
             self._thread.join(timeout=10)
+        # Fail every request the loop never finished — in-flight slots, staged
+        # admissions, and anything still queued. The loop's exit path frees the
+        # SLOTS (engine reusable) but cannot resolve futures; without this a
+        # client blocked on fut.result() across a shutdown hangs until its own
+        # timeout. Also flags submit() to fail fast (start() clears the flag,
+        # so a restarted batcher accepts work again).
+        err = _ShutdownError(
+            "ContinuousBatcher shut down before completing this request")
+        st = getattr(self, "_st", None)
+        futs = []
+        if st is not None:
+            futs += [tag for (tag, _req) in st.slot_req.values()]
+            futs += [tag for (_a, tag, _req) in st.pending.values()]
+        with self._lock:
+            if self._crashed is None:
+                self._crashed = err
+            while self._queue:
+                _req, fut = self._queue.popleft()
+                futs.append(fut)
+        for fut in futs:
+            if isinstance(fut, Future) and not fut.done():
+                try:
+                    fut.set_exception(err)
+                except Exception:
+                    pass  # resolved/cancelled concurrently
 
     @staticmethod
     def admission_budget(any_active: bool, pending_slots: int,
