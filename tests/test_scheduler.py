@@ -163,3 +163,36 @@ def test_make_scheduler_lookahead_scales_with_batch():
     assert len(make_scheduler(batcher=_B(4)).engines) == 6
     assert len(make_scheduler(batcher=_B(32)).engines) == 40
     assert len(make_scheduler(batcher=_B(8), workers=5).engines) == 5
+
+
+def test_scheduler_shutdown_fails_queued_futures():
+    """shutdown() must resolve futures still waiting in the queue — no worker
+    will ever pop them, so leaving them pending hangs clients until their own
+    timeouts (same contract as ContinuousBatcher.shutdown)."""
+    import threading
+
+    release = threading.Event()
+
+    class _SlowEngine:
+        def generate(self, **req):
+            release.wait(timeout=30)
+            return {"generated_text": "ok", "generated_tokens": [1],
+                    "avg_accept_tokens": 1.0, "time_per_output_token": 1.0}
+
+    sched = Scheduler([_SlowEngine()])  # ONE worker: the rest stay queued
+    sched.start()
+    futs = [sched.submit(max_new_tokens=4) for _ in range(4)]
+    time.sleep(0.3)  # worker holds the first request; 3 remain queued
+    sched._stop.set()
+    release.set()  # let the in-flight one finish so join succeeds
+    sched.shutdown(wait=True)
+    done = [f for f in futs if f.done()]
+    assert len(done) == len(futs), "queued futures left pending after shutdown"
+    errs = 0
+    for f in futs:
+        try:
+            f.result(timeout=1)
+        except RuntimeError as e:
+            assert "shut down" in str(e)
+            errs += 1
+    assert errs >= 3  # everything the worker never started

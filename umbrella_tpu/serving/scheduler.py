@@ -173,6 +173,20 @@ class Scheduler:
         if wait:
             for t in self._workers:
                 t.join(timeout=5)
+        # Fail everything still queued: no worker will ever pop it, and a
+        # client blocked on fut.result() must not hang until its own timeout
+        # (same contract as ContinuousBatcher.shutdown). get_nowait is
+        # thread-safe vs any worker still draining under wait=False.
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            try:
+                item.future.set_exception(RuntimeError(
+                    "Scheduler shut down before executing this request"))
+            except Exception:
+                pass  # resolved/cancelled concurrently
 
 
 class BatcherBackend:
